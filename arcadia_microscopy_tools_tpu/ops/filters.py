@@ -1,0 +1,342 @@
+"""Separable image filters as jittable TPU kernels.
+
+Replaces the scikit-image/scipy filter stack used by the reference
+(`src/arcadia_microscopy_tools/operations.py:91` difference_of_gaussians, plus
+the denoise/background extras from the north-star config list): Gaussian and
+difference-of-Gaussians, box/uniform filters built on cumulative sums, median
+and rank filters, and grey-morphology background estimation (flat and
+paraboloid "rolling ball").
+
+Design notes (TPU):
+- Everything operates on float32 arrays shaped (..., H, W); leading axes are
+  batch and are folded into the convolution batch dimension, so a whole
+  (B, C, H, W) well batch runs as one fused XLA program.
+- Gaussian convolution is separable 1-D convs through
+  `lax.conv_general_dilated`, which XLA lowers onto the MXU/VPU with proper
+  tiling; edge handling matches scipy's "nearest"/"reflect" modes via explicit
+  pads (static shapes - no dynamic control flow under jit).
+- Box sums use exclusive cumsums so windowed mean/variance (Niblack, Sauvola,
+  local-threshold) are O(1) per pixel regardless of window size.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "gaussian_filter",
+    "difference_of_gaussians",
+    "box_filter",
+    "window_mean_std",
+    "median_filter",
+    "rank_filter",
+    "grey_erosion",
+    "grey_dilation",
+    "grey_opening",
+    "subtract_background_rolling_ball",
+    "to_float",
+]
+
+
+def to_float(x: jax.Array | np.ndarray) -> jax.Array:
+    """Convert an image to float32 following skimage's `img_as_float` contract.
+
+    Unsigned integer images are scaled to [0, 1] by the dtype max (uint16 ->
+    /65535), signed integers by the dtype range, and floating images pass
+    through (cast to float32).
+    """
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return x.astype(jnp.float32)
+    if x.dtype == jnp.bool_:
+        return x.astype(jnp.float32)
+    info = jnp.iinfo(x.dtype)
+    if info.min == 0:
+        return x.astype(jnp.float32) / float(info.max)
+    # Signed integers: scale symmetric range like skimage img_as_float
+    return x.astype(jnp.float32) / float(info.max + 1)
+
+
+def _gaussian_kernel_1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """Sampled, normalized 1-D Gaussian (matches scipy.ndimage.gaussian_filter1d)."""
+    radius = int(truncate * float(sigma) + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    kernel = np.exp(-0.5 * (x / float(sigma)) ** 2)
+    kernel /= kernel.sum()
+    return kernel.astype(np.float32)
+
+
+_PAD_MODES = {
+    # scipy mode -> jnp.pad mode
+    "nearest": "edge",
+    "reflect": "symmetric",  # scipy 'reflect' duplicates the edge sample
+    "mirror": "reflect",  # scipy 'mirror' does not duplicate the edge sample
+    "constant": "constant",
+    "wrap": "wrap",
+}
+
+
+def _pad_last2(x: jax.Array, pad_h: int, pad_w: int, mode: str, cval: float = 0.0) -> jax.Array:
+    pad_mode = _PAD_MODES[mode]
+    pads = [(0, 0)] * (x.ndim - 2) + [(pad_h, pad_h), (pad_w, pad_w)]
+    if pad_mode == "constant":
+        return jnp.pad(x, pads, mode="constant", constant_values=cval)
+    return jnp.pad(x, pads, mode=pad_mode)
+
+
+def _conv_separable_last2(
+    x: jax.Array, kernel_y: np.ndarray | None, kernel_x: np.ndarray | None
+) -> jax.Array:
+    """Valid-mode separable convolution along the last two axes.
+
+    The input is reshaped to NCHW with all leading axes folded into N so one
+    `conv_general_dilated` call covers an entire batch.
+    """
+    lead = x.shape[:-2]
+    h, w = x.shape[-2], x.shape[-1]
+    y = x.reshape((-1, 1, h, w)).astype(jnp.float32)
+
+    dn = lax.conv_dimension_numbers(y.shape, (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
+    if kernel_y is not None:
+        ky = jnp.asarray(kernel_y, dtype=jnp.float32).reshape((1, 1, -1, 1))
+        y = lax.conv_general_dilated(y, ky, (1, 1), "VALID", dimension_numbers=dn)
+    if kernel_x is not None:
+        kx = jnp.asarray(kernel_x, dtype=jnp.float32).reshape((1, 1, 1, -1))
+        y = lax.conv_general_dilated(y, kx, (1, 1), "VALID", dimension_numbers=dn)
+    return y.reshape(lead + y.shape[-2:])
+
+
+@partial(jax.jit, static_argnames=("sigma", "mode", "truncate", "cval"))
+def gaussian_filter(
+    x: jax.Array,
+    sigma: float,
+    mode: str = "nearest",
+    truncate: float = 4.0,
+    cval: float = 0.0,
+) -> jax.Array:
+    """2-D Gaussian blur over the last two axes (separable, batched).
+
+    Matches `scipy.ndimage.gaussian_filter` (and therefore skimage.filters
+    .gaussian) for the supported boundary modes, in float32.
+    """
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if sigma <= 0:
+        return x
+    kernel = _gaussian_kernel_1d(sigma, truncate)
+    radius = (len(kernel) - 1) // 2
+    padded = _pad_last2(x, radius, radius, mode, cval)
+    return _conv_separable_last2(padded, kernel, kernel)
+
+
+@partial(jax.jit, static_argnames=("low_sigma", "high_sigma", "mode", "truncate"))
+def difference_of_gaussians(
+    x: jax.Array,
+    low_sigma: float,
+    high_sigma: float,
+    mode: str = "nearest",
+    truncate: float = 4.0,
+) -> jax.Array:
+    """Band-pass difference-of-Gaussians filter.
+
+    Semantics match `skimage.filters.difference_of_gaussians`
+    (reference hot path, operations.py:91): the image is first converted to
+    float in [0, 1] (uint16 / 65535), then blurred at both sigmas with
+    "nearest" edges and truncate=4, and the wide blur is subtracted from the
+    narrow one.
+    """
+    img = to_float(x)
+    low = gaussian_filter(img, low_sigma, mode=mode, truncate=truncate)
+    high = gaussian_filter(img, high_sigma, mode=mode, truncate=truncate)
+    return low - high
+
+
+# -- Box / windowed statistics ------------------------------------------------
+
+
+def _box_sum_last2(x: jax.Array, window: int, mode: str = "reflect") -> jax.Array:
+    """Windowed sum over a (window x window) neighborhood via 2 cumsums.
+
+    O(1) per pixel for any window size - the backbone of the local
+    thresholding family. `window` must be odd.
+    """
+    if window % 2 != 1:
+        raise ValueError(f"window must be odd, got {window}")
+    r = window // 2
+    padded = _pad_last2(x.astype(jnp.float32), r + 1, r + 1, mode)
+    # Integral image with a leading zero row/col (via the +1 padding shift)
+    ii = jnp.cumsum(jnp.cumsum(padded, axis=-2), axis=-1)
+    h, w = x.shape[-2], x.shape[-1]
+    # S(y0:y1, x0:x1) = ii[y1,x1] - ii[y0-1,x1] - ii[y1,x0-1] + ii[y0-1,x0-1]
+    a = ii[..., window : window + h, window : window + w]
+    b = ii[..., :h, window : window + w]
+    c = ii[..., window : window + h, :w]
+    d = ii[..., :h, :w]
+    return a - b - c + d
+
+
+@partial(jax.jit, static_argnames=("window", "mode"))
+def box_filter(x: jax.Array, window: int, mode: str = "reflect") -> jax.Array:
+    """Windowed mean over a (window x window) neighborhood."""
+    return _box_sum_last2(x, window, mode) / float(window * window)
+
+
+@partial(jax.jit, static_argnames=("window", "mode"))
+def window_mean_std(
+    x: jax.Array, window: int, mode: str = "mirror"
+) -> tuple[jax.Array, jax.Array]:
+    """Windowed mean and standard deviation (population), float32.
+
+    Used by Niblack/Sauvola thresholds; mirrors skimage's `_mean_std`, whose
+    np.pad(mode='reflect') equals scipy's 'mirror' (no edge duplication).
+    """
+    x = jnp.asarray(x, dtype=jnp.float32)
+    n = float(window * window)
+    s1 = _box_sum_last2(x, window, mode)
+    s2 = _box_sum_last2(x * x, window, mode)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    return mean, jnp.sqrt(var)
+
+
+# -- Rank filters --------------------------------------------------------------
+
+
+def _window_stack(x: jax.Array, window: int, mode: str = "reflect") -> jax.Array:
+    """Stack all window*window shifted views along a new leading axis.
+
+    Memory is O(window^2 * image); intended for window <= 9. Larger windows
+    should go through the (future) Pallas sorting-network kernel.
+    """
+    r = window // 2
+    padded = _pad_last2(x, r, r, mode)
+    h, w = x.shape[-2], x.shape[-1]
+    views = [
+        padded[..., dy : dy + h, dx : dx + w]
+        for dy in range(window)
+        for dx in range(window)
+    ]
+    return jnp.stack(views, axis=0)
+
+
+@partial(jax.jit, static_argnames=("window", "mode"))
+def median_filter(x: jax.Array, window: int = 3, mode: str = "reflect") -> jax.Array:
+    """Median filter over a (window x window) neighborhood.
+
+    Implemented as a full sort over the stacked window views - XLA lowers the
+    sort to a bitonic network on the VPU, vectorized across all pixels.
+    """
+    stack = _window_stack(jnp.asarray(x, dtype=jnp.float32), window, mode)
+    k = stack.shape[0]
+    sorted_stack = jnp.sort(stack, axis=0)
+    if k % 2 == 1:
+        return sorted_stack[k // 2]
+    return 0.5 * (sorted_stack[k // 2 - 1] + sorted_stack[k // 2])
+
+
+@partial(jax.jit, static_argnames=("rank", "window", "mode"))
+def rank_filter(x: jax.Array, rank: int, window: int = 3, mode: str = "reflect") -> jax.Array:
+    """Generic rank filter (rank 0 = min, window^2-1 = max)."""
+    stack = _window_stack(jnp.asarray(x, dtype=jnp.float32), window, mode)
+    return jnp.sort(stack, axis=0)[rank]
+
+
+# -- Grey morphology / background estimation -----------------------------------
+
+
+def _reduce_window_last2(x: jax.Array, window: int, mode: str, init, op) -> jax.Array:
+    r = window // 2
+    if mode == "min":
+        padded = _pad_last2(x, r, r, "nearest")
+    else:
+        padded = _pad_last2(x, r, r, "nearest")
+    return lax.reduce_window(
+        padded,
+        init,
+        op,
+        window_dimensions=(1,) * (x.ndim - 2) + (window, window),
+        window_strides=(1,) * x.ndim,
+        padding="VALID",
+    )
+
+
+@partial(jax.jit, static_argnames=("window",))
+def grey_erosion(x: jax.Array, window: int) -> jax.Array:
+    """Flat grey erosion (windowed min) with edge replication."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    return _reduce_window_last2(x, window, "min", jnp.inf, lax.min)
+
+
+@partial(jax.jit, static_argnames=("window",))
+def grey_dilation(x: jax.Array, window: int) -> jax.Array:
+    """Flat grey dilation (windowed max) with edge replication."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    return _reduce_window_last2(x, window, "max", -jnp.inf, lax.max)
+
+
+@partial(jax.jit, static_argnames=("window",))
+def grey_opening(x: jax.Array, window: int) -> jax.Array:
+    """Flat grey opening: erosion then dilation. Estimates a local background
+    floor that ignores bright features smaller than the window."""
+    return grey_dilation(grey_erosion(x, window), window)
+
+
+def _parabola_erode_1d(x: jax.Array, radius: int, curvature: float, axis: int) -> jax.Array:
+    """1-D grey erosion with a parabolic structuring element via shifts.
+
+    min_k ( x[i+k] - curvature * k^2 ) over k in [-radius, radius].
+    """
+    out = x
+    h = x.shape[axis]
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (radius, radius)
+    padded = jnp.pad(x, pads, mode="edge")
+    idx_base = [slice(None)] * x.ndim
+    for k in range(-radius, radius + 1):
+        if k == 0:
+            continue
+        idx = list(idx_base)
+        idx[axis] = slice(radius + k, radius + k + h)
+        shifted = padded[tuple(idx)] + jnp.float32(curvature * (k * k))
+        out = jnp.minimum(out, shifted)
+    return out
+
+
+def _parabola_dilate_1d(x: jax.Array, radius: int, curvature: float, axis: int) -> jax.Array:
+    return -_parabola_erode_1d(-x, radius, curvature, axis)
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def rolling_ball_background(x: jax.Array, radius: int = 50) -> jax.Array:
+    """Estimate a smooth background with a paraboloid rolling-ball.
+
+    TPU-native take on `skimage.restoration.rolling_ball`: the ball is
+    replaced by a paraboloid of revolution, which - unlike a sphere - is
+    exactly separable into two 1-D parabolic morphology passes
+    (z = c*(dx^2 + dy^2)). The curvature is matched to the ball apex
+    (c = 1/(2*radius) for a unit-height-scale image), the standard
+    ImageJ-style approximation.
+
+    Returns the background; subtract it from the image to flatten
+    illumination.
+    """
+    img = jnp.asarray(x, dtype=jnp.float32)
+    curvature = 1.0 / (2.0 * float(radius))
+    # opening = erosion then dilation with the paraboloid
+    er = _parabola_erode_1d(img, radius, curvature, axis=-2)
+    er = _parabola_erode_1d(er, radius, curvature, axis=-1)
+    di = _parabola_dilate_1d(er, radius, curvature, axis=-2)
+    di = _parabola_dilate_1d(di, radius, curvature, axis=-1)
+    return di
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def subtract_background_rolling_ball(x: jax.Array, radius: int = 50) -> jax.Array:
+    """Subtract a paraboloid rolling-ball background (clipped at zero)."""
+    img = jnp.asarray(x, dtype=jnp.float32)
+    return jnp.clip(img - rolling_ball_background(img, radius), 0.0, None)

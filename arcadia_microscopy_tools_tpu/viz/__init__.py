@@ -1,0 +1,5 @@
+"""Visualization: fused overlay/compositing kernels."""
+
+from .blending import BlendMode, Layer, create_overlay, overlay_channels
+
+__all__ = ["BlendMode", "Layer", "create_overlay", "overlay_channels"]

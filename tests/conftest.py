@@ -1,0 +1,66 @@
+"""Test configuration.
+
+Tests run on the CPU backend with 8 virtual devices so that multi-chip
+sharding paths (mesh tests) execute without TPU hardware - the same pattern
+the reference uses to fake hardware at the API boundary
+(reference test_model.py:84-122 patches torch device discovery; here we give
+JAX a fake 8-device topology instead).
+"""
+
+import os
+
+# Must happen before jax initializes a backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def test_data_directory():
+    return Path(__file__).parent / "data"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def valid_multichannel_nd2_path(test_data_directory):
+    path = test_data_directory / "example-multichannel.nd2"
+    if not path.exists():
+        pytest.skip("example-multichannel.nd2 fixture not present")
+    return path
+
+
+@pytest.fixture
+def valid_timelapse_nd2_path(test_data_directory):
+    path = test_data_directory / "example-timelapse.nd2"
+    if not path.exists():
+        pytest.skip("example-timelapse.nd2 fixture not present")
+    return path
+
+
+@pytest.fixture
+def valid_zstack_nd2_path(test_data_directory):
+    path = test_data_directory / "example-zstack.nd2"
+    if not path.exists():
+        pytest.skip("example-zstack.nd2 fixture not present")
+    return path
+
+
+@pytest.fixture
+def known_metadata(test_data_directory):
+    import yaml
+
+    yaml_path = test_data_directory / "known-metadata.yml"
+    if not yaml_path.exists():
+        pytest.skip("known-metadata.yml fixture not present")
+    with yaml_path.open("r") as file:
+        return yaml.safe_load(file)

@@ -1,0 +1,108 @@
+"""Connected-components labeling parity vs scipy.ndimage (8-connectivity,
+scan-order label numbering) plus clear_border / relabel semantics."""
+
+import numpy as np
+import pytest
+
+import reference_impl as ref
+from arcadia_microscopy_tools_tpu.ops import clear_border, label, relabel_sequential
+
+
+def random_blobs(rng, shape=(96, 96), density=0.35, smooth=2):
+    from scipy import ndimage as ndi
+
+    noise = rng.random(shape)
+    smoothed = ndi.gaussian_filter(noise, smooth)
+    return smoothed > np.quantile(smoothed, 1 - density)
+
+
+class TestLabel:
+    def test_single_blob(self):
+        mask = np.zeros((16, 16), dtype=bool)
+        mask[4:8, 4:8] = True
+        lbl = np.asarray(label(mask))
+        assert lbl.max() == 1
+        np.testing.assert_array_equal(lbl > 0, mask)
+
+    def test_two_blobs_scan_order(self):
+        mask = np.zeros((16, 16), dtype=bool)
+        mask[10:12, 2:4] = True  # later in scan order
+        mask[2:4, 10:12] = True  # earlier in scan order
+        lbl = np.asarray(label(mask))
+        assert lbl[2, 10] == 1
+        assert lbl[10, 2] == 2
+
+    def test_diagonal_connectivity_8(self):
+        mask = np.zeros((8, 8), dtype=bool)
+        mask[2, 2] = True
+        mask[3, 3] = True
+        lbl8 = np.asarray(label(mask, connectivity=2))
+        assert lbl8.max() == 1
+        lbl4 = np.asarray(label(mask, connectivity=1))
+        assert lbl4.max() == 2
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_matches_scipy_random_blobs(self, seed):
+        rng = np.random.default_rng(seed)
+        mask = random_blobs(rng)
+        ours = np.asarray(label(mask))
+        theirs = ref.label(mask, connectivity=2)
+        assert ours.max() == theirs.max()
+        # identical partition: component memberships agree pixel-for-pixel
+        np.testing.assert_array_equal(ours > 0, theirs > 0)
+        # bijective label mapping
+        pairs = set(zip(ours.ravel().tolist(), theirs.ravel().tolist()))
+        ours_to_theirs = {}
+        for a, b in pairs:
+            assert ours_to_theirs.setdefault(a, b) == b
+
+    def test_spiral_long_component(self):
+        # Worst case for naive propagation: one long snaking component.
+        mask = np.zeros((64, 64), dtype=bool)
+        for i in range(0, 64, 4):
+            mask[i, :] = True
+            if (i // 4) % 2 == 0:
+                mask[i : i + 4, -1] = True
+            else:
+                mask[i : i + 4, 0] = True
+        ours = np.asarray(label(mask))
+        assert ours.max() == 1
+
+    def test_empty_mask(self):
+        lbl = np.asarray(label(np.zeros((8, 8), dtype=bool)))
+        assert lbl.max() == 0
+
+
+class TestClearBorder:
+    def test_removes_border_touching(self):
+        mask = np.zeros((16, 16), dtype=bool)
+        mask[0:3, 0:3] = True  # touches border
+        mask[8:11, 8:11] = True  # interior
+        lbl = np.asarray(label(mask))
+        cleared = np.asarray(clear_border(lbl))
+        assert cleared[1, 1] == 0
+        assert cleared[9, 9] > 0
+
+    def test_interior_untouched(self):
+        mask = np.zeros((16, 16), dtype=bool)
+        mask[5:8, 5:8] = True
+        lbl = np.asarray(label(mask))
+        np.testing.assert_array_equal(np.asarray(clear_border(lbl)), lbl)
+
+
+class TestRelabelSequential:
+    def test_gaps_compacted(self):
+        lbl = np.zeros((8, 8), dtype=np.int64)
+        lbl[1, 1] = 5
+        lbl[4, 4] = 9
+        lbl[6, 6] = 2
+        out = np.asarray(relabel_sequential(lbl))
+        assert out[6, 6] == 1  # smallest original label -> 1
+        assert out[1, 1] == 2
+        assert out[4, 4] == 3
+
+    def test_already_sequential(self):
+        lbl = np.zeros((8, 8), dtype=np.int64)
+        lbl[1, 1] = 1
+        lbl[4, 4] = 2
+        np.testing.assert_array_equal(np.asarray(relabel_sequential(lbl)), lbl)
