@@ -370,8 +370,8 @@ class ND2File:
         pixels = np.frombuffer(data, dtype=np.uint8, offset=8)
         rows = pixels[: height * stride].reshape(height, stride)
         row_bytes = width * n_comp * dtype.itemsize
-        frame = rows[:, :row_bytes].reshape(height, width * n_comp).view(dtype)
-        return frame.reshape(height, width, n_comp)
+        frame_bytes = np.ascontiguousarray(rows[:, :row_bytes])
+        return frame_bytes.view(dtype).reshape(height, width, n_comp)
 
     def asarray(self) -> np.ndarray:
         """Full dataset shaped per `sizes` (loops..., [C], Y, X)."""
