@@ -1,0 +1,326 @@
+"""From-scratch Leica LIF (Leica Image Format) reader.
+
+The environment has no `liffile` package, so this is a clean-room
+implementation of the public LIF v2 container format, exposing the surface
+the Leica metadata parser needs (the reference consumes `liffile` at
+`src/arcadia_microscopy_tools/leica.py:48,78,372-380`): image list by name,
+pixel data, sizes, per-dimension coordinates, timestamps, the image's XML
+element, and attachment attributes (HardwareSetting / TileScanInfo /
+LaserValues).
+
+Container layout (little-endian):
+- Header block: u32 0x70, u32 length, u8 0x2A, u32 nchars, UTF-16LE XML
+  document (an <LMSDataContainerHeader> tree of <Element>s).
+- Memory blocks: u32 0x70, u32 length, u8 0x2A, u64 memory_size (v2; u32 in
+  v1), u8 0x2A, u32 nchars, UTF-16LE block id ("MemBlock_xx"), then
+  memory_size raw bytes.
+- Pixel geometry is fully described by <ChannelDescription BytesInc=...> and
+  <DimensionDescription DimID= NumberOfElements= BytesInc=...>, so frames are
+  reconstructed with stride tricks rather than format-specific loops.
+
+Dimension ID legend (LAS X): 1=X, 2=Y, 3=Z, 4=T, 5=lambda(em), 6=Rotation,
+7=XT, 8=TSlice, 9=Lambda(exc), 10=Mosaic.
+"""
+
+from __future__ import annotations
+
+import struct
+import xml.etree.ElementTree as ET
+from datetime import datetime, timedelta, timezone
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+_DIM_LABELS = {
+    1: "X",
+    2: "Y",
+    3: "Z",
+    4: "T",
+    5: "λ",
+    6: "A",
+    7: "N",
+    8: "Q",
+    9: "Λ",
+    10: "M",
+}
+
+# Windows FILETIME epoch (1601-01-01) for <TimeStamp> HighInteger/LowInteger
+_FILETIME_EPOCH = datetime(1601, 1, 1, tzinfo=timezone.utc)
+
+
+class LifParseError(ValueError):
+    """Raised when a LIF file cannot be parsed."""
+
+
+def _xml_element_to_attrs(elem: ET.Element) -> Any:
+    """Convert an XML element to the nested dict/list shape the parsers
+    expect: attributes become keys; repeated child tags become lists."""
+    children: dict[str, Any] = {}
+    for child in elem:
+        value = _xml_element_to_attrs(child)
+        if child.tag in children:
+            existing = children[child.tag]
+            if isinstance(existing, list):
+                existing.append(value)
+            else:
+                children[child.tag] = [existing, value]
+        else:
+            children[child.tag] = value
+    out: dict[str, Any] = dict(elem.attrib)
+    out.update(children)
+    return out
+
+
+class LifImage:
+    """One image inside a LIF file."""
+
+    def __init__(self, lif: "LifFile", element: ET.Element, path: str):
+        self._lif = lif
+        self.xml_element = element
+        self.name = element.get("Name", "")
+        self.path = path
+
+        data = element.find("./Data/Image")
+        if data is None:
+            raise LifParseError(f"Element {self.name!r} has no image data")
+        desc = data.find("ImageDescription")
+        if desc is None:
+            raise LifParseError(f"Image {self.name!r} missing ImageDescription")
+        self._description = desc
+
+        memory = data.find("Memory")
+        self.memory_block_id = memory.get("MemoryBlockID") if memory is not None else None
+        self.memory_size = int(memory.get("Size", "0")) if memory is not None else 0
+
+        self._channels = desc.findall("./Channels/ChannelDescription")
+        self._dimensions = desc.findall("./Dimensions/DimensionDescription")
+
+    # -- geometry -----------------------------------------------------------------
+
+    @property
+    def num_channels(self) -> int:
+        return max(len(self._channels), 1)
+
+    def _dim_records(self) -> list[dict[str, Any]]:
+        records = []
+        for d in self._dimensions:
+            records.append(
+                {
+                    "dim_id": int(d.get("DimID", "0")),
+                    "label": _DIM_LABELS.get(int(d.get("DimID", "0")), f"D{d.get('DimID')}"),
+                    "n": int(d.get("NumberOfElements", "1")),
+                    "origin": float(d.get("Origin", "0") or 0),
+                    "length": float(d.get("Length", "0") or 0),
+                    "unit": d.get("Unit", ""),
+                    "bytes_inc": int(d.get("BytesInc", "0")),
+                }
+            )
+        return records
+
+    @property
+    def sizes(self) -> dict[str, int]:
+        """Dimension sizes ordered slowest-varying first (descending byte
+        stride), with the channel axis placed by the channel BytesInc."""
+        dims = self._dim_records()
+        axes: list[tuple[int, str, int]] = [
+            (d["bytes_inc"], d["label"], d["n"]) for d in dims if d["n"] > 1 or d["label"] in ("X", "Y")
+        ]
+        if len(self._channels) > 1:
+            # channel stride = spacing between per-channel BytesInc values
+            incs = sorted(int(c.get("BytesInc", "0")) for c in self._channels)
+            ch_stride = incs[1] - incs[0] if len(incs) > 1 else 0
+            axes.append((ch_stride, "C", len(self._channels)))
+        axes.sort(key=lambda t: -t[0])
+        return {label: n for _, label, n in axes}
+
+    @property
+    def dtype(self) -> np.dtype:
+        res = int(self._channels[0].get("Resolution", "16")) if self._channels else 16
+        return np.dtype("<u2") if res > 8 else np.dtype("u1")
+
+    def asarray(self) -> np.ndarray:
+        """Decode the image's memory block into an array shaped per `sizes`."""
+        if self.memory_block_id is None:
+            raise LifParseError(f"Image {self.name!r} has no memory block")
+        raw = self._lif._memory_blocks.get(self.memory_block_id)
+        if raw is None:
+            raise LifParseError(f"Memory block {self.memory_block_id!r} not found")
+
+        dims = self._dim_records()
+        dtype = self.dtype
+        axes: list[tuple[int, str, int]] = [
+            (d["bytes_inc"], d["label"], d["n"]) for d in dims if d["n"] > 1 or d["label"] in ("X", "Y")
+        ]
+        first_inc = int(self._channels[0].get("BytesInc", "0")) if self._channels else 0
+        if len(self._channels) > 1:
+            incs = sorted(int(c.get("BytesInc", "0")) for c in self._channels)
+            axes.append((incs[1] - incs[0], "C", len(self._channels)))
+        axes.sort(key=lambda t: -t[0])
+
+        shape = tuple(n for _, _, n in axes)
+        strides = tuple(s for s, _, _ in axes)
+        arr = np.lib.stride_tricks.as_strided(
+            np.frombuffer(raw, dtype=np.uint8, offset=first_inc)[: max(1, len(raw) - first_inc)]
+            .view(np.uint8),
+            shape=shape + (dtype.itemsize,),
+            strides=strides + (1,),
+        )
+        flat = np.ascontiguousarray(arr).reshape(shape + (dtype.itemsize,))
+        return flat.view(dtype).reshape(shape).copy()
+
+    # -- physical coordinates -------------------------------------------------------
+
+    @property
+    def coords(self) -> dict[str, np.ndarray]:
+        """Per-dimension coordinate arrays in each dimension's raw unit:
+        origin + step * index (step = length / number_of_elements)."""
+        out = {}
+        for d in self._dim_records():
+            if d["n"] > 1:
+                step = d["length"] / d["n"]
+                out[d["label"]] = d["origin"] + step * np.arange(d["n"])
+        return out
+
+    @property
+    def timestamps(self) -> list[datetime]:
+        """Frame timestamps from the TimeStampList (FILETIME ticks)."""
+        stamps: list[datetime] = []
+        tsl = self.xml_element.find("./Data/Image/TimeStampList")
+        if tsl is None:
+            return stamps
+        if tsl.text and tsl.text.strip():
+            # modern format: space-separated hex FILETIME values
+            for tok in tsl.text.split():
+                try:
+                    ticks = int(tok, 16)
+                except ValueError:
+                    continue
+                stamps.append(_FILETIME_EPOCH + timedelta(microseconds=ticks / 10))
+        else:
+            for ts in tsl.findall("TimeStamp"):
+                high = int(ts.get("HighInteger", "0"))
+                low = int(ts.get("LowInteger", "0"))
+                ticks = (high << 32) + low
+                stamps.append(_FILETIME_EPOCH + timedelta(microseconds=ticks / 10))
+        return stamps
+
+    @property
+    def attrs(self) -> dict[str, Any]:
+        """Attachment metadata (HardwareSetting, TileScanInfo, LaserValues,
+        ...) as nested dicts of XML attributes, lists for repeated tags."""
+        out: dict[str, Any] = {}
+        for attachment in self.xml_element.findall("./Data/Image/Attachment"):
+            name = attachment.get("Name", "")
+            if name:
+                out[name] = _xml_element_to_attrs(attachment)
+        return out
+
+
+class LifFile:
+    """Minimal LIF reader with the `liffile.LifFile`-compatible surface used
+    by the Leica metadata parser."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        with open(self.path, "rb") as fh:
+            data = fh.read()
+        self._xml, self._memory_blocks = self._parse_container(data)
+        self._images = self._collect_images()
+
+    @staticmethod
+    def _parse_container(data: bytes) -> tuple[ET.Element, dict[str, bytes]]:
+        if len(data) < 13 or struct.unpack_from("<I", data, 0)[0] != 0x70:
+            raise LifParseError("Not a LIF file (bad magic)")
+        pos = 0
+
+        def read_u32(p):
+            return struct.unpack_from("<I", data, p)[0], p + 4
+
+        def read_u64(p):
+            return struct.unpack_from("<Q", data, p)[0], p + 8
+
+        # header block
+        magic, pos = read_u32(pos)
+        _size, pos = read_u32(pos)
+        if data[pos] != 0x2A:
+            raise LifParseError("Bad LIF header test byte")
+        pos += 1
+        nchars, pos = read_u32(pos)
+        xml_text = data[pos : pos + 2 * nchars].decode("utf-16-le")
+        pos += 2 * nchars
+        root = ET.fromstring(xml_text)
+        version = int(root.get("Version", "2"))
+
+        blocks: dict[str, bytes] = {}
+        while pos + 13 <= len(data):
+            magic, pos = read_u32(pos)
+            if magic != 0x70:
+                raise LifParseError(f"Bad block magic at {pos - 4}")
+            _blen, pos = read_u32(pos)
+            if data[pos] != 0x2A:
+                raise LifParseError("Bad block test byte")
+            pos += 1
+            if version >= 2:
+                mem_size, pos = read_u64(pos)
+            else:
+                mem_size, pos = read_u32(pos)
+            if data[pos] != 0x2A:
+                raise LifParseError("Bad block description test byte")
+            pos += 1
+            nchars, pos = read_u32(pos)
+            block_id = data[pos : pos + 2 * nchars].decode("utf-16-le")
+            pos += 2 * nchars
+            blocks[block_id] = data[pos : pos + mem_size]
+            pos += mem_size
+        return root, blocks
+
+    def _collect_images(self) -> list[LifImage]:
+        images: list[LifImage] = []
+
+        def visit(elem: ET.Element, prefix: str) -> None:
+            for child in elem.findall("./Children/Element") + (
+                elem.findall("./Element") if elem.tag == "LMSDataContainerHeader" else []
+            ):
+                name = child.get("Name", "")
+                path = f"{prefix}/{name}" if prefix else name
+                if child.find("./Data/Image") is not None:
+                    images.append(LifImage(self, child, path))
+                visit(child, path)
+
+        visit(self._xml, "")
+        return images
+
+    @property
+    def images(self) -> "_ImageList":
+        return _ImageList(self._images)
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self) -> "LifFile":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class _ImageList:
+    """List-like with name lookup (liffile.images semantics)."""
+
+    def __init__(self, images: list[LifImage]):
+        self._images = images
+
+    def __iter__(self):
+        return iter(self._images)
+
+    def __len__(self):
+        return len(self._images)
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            return self._images[key]
+        for img in self._images:
+            if img.name == key or img.path == key:
+                return img
+        raise KeyError(key)
