@@ -1,0 +1,19 @@
+.PHONY: test test-fast lint bench train dryrun
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q -x -m "not slow"
+
+lint:
+	python -m compileall -q arcadia_microscopy_tools_tpu tests bench.py __graft_entry__.py
+
+bench:
+	python bench.py
+
+train:
+	python -m arcadia_microscopy_tools_tpu.models.train --steps 1200 --out checkpoints/unet
+
+dryrun:
+	python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"

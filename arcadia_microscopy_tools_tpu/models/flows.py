@@ -1,0 +1,266 @@
+"""Flow-field mask reconstruction as fixed-iteration device kernels.
+
+The Cellpose recipe (behavior contract documented at reference
+`src/arcadia_microscopy_tools/model.py:49-64`): the network predicts a 2-D
+flow field pointing toward each cell's center plus a cell probability map;
+pixels above `cellprob_threshold` are advected along the flow for `niter`
+Euler steps; pixels that converge to the same sink belong to one cell; masks
+whose recomputed flows disagree with the network's (flow error >
+`flow_threshold`) are discarded.
+
+Everything here is static-shaped, jittable and vmappable:
+- `follow_flows`: full-grid bilinear flow integration via
+  jax.scipy.ndimage.map_coordinates inside a lax.fori_loop;
+- `masks_from_flows`: landing-pixel scatter -> sink clustering with the CC
+  labeler from ops.labeling -> per-pixel label gather (with a 3x3 mop-up for
+  stragglers) -> small-mask removal;
+- `masks_to_flows`: heat diffusion from each cell's center (the Cellpose
+  flow-target construction) with a fixed iteration count;
+- `flow_error`: per-mask MSE between predicted and mask-derived unit flows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.labeling import label as cc_label
+
+__all__ = [
+    "follow_flows",
+    "masks_from_flows",
+    "masks_to_flows",
+    "flow_error",
+    "compute_masks",
+]
+
+
+def _bilinear_sample(field: jax.Array, coords: jax.Array) -> jax.Array:
+    """Sample (H, W) `field` at float (2, N) coords with bilinear interp,
+    clamped to the image bounds."""
+    from jax.scipy.ndimage import map_coordinates
+
+    return map_coordinates(field, [coords[0], coords[1]], order=1, mode="nearest")
+
+
+@partial(jax.jit, static_argnames=("niter",))
+def follow_flows(
+    flows: jax.Array,  # (H, W, 2) - [dY, dX] unit flows toward cell centers
+    active: jax.Array,  # (H, W) bool - pixels to advect
+    niter: int = 200,
+) -> jax.Array:
+    """Advect every active pixel along the flow field for `niter` Euler steps.
+
+    Returns (H, W, 2) float32 final positions (inactive pixels stay put).
+    """
+    h, w = active.shape
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    p0 = jnp.stack([yy, xx], axis=0).astype(jnp.float32).reshape(2, -1)
+    act = active.ravel()
+
+    fy = flows[..., 0].astype(jnp.float32)
+    fx = flows[..., 1].astype(jnp.float32)
+
+    def step(_, p):
+        dy = _bilinear_sample(fy, p)
+        dx = _bilinear_sample(fx, p)
+        py = jnp.clip(p[0] + jnp.where(act, dy, 0.0), 0.0, h - 1)
+        px = jnp.clip(p[1] + jnp.where(act, dx, 0.0), 0.0, w - 1)
+        return jnp.stack([py, px], axis=0)
+
+    p = lax.fori_loop(0, niter, step, p0)
+    return p.reshape(2, h, w).transpose(1, 2, 0)
+
+
+@partial(jax.jit, static_argnames=("min_size", "sink_count"))
+def masks_from_flows(
+    final_positions: jax.Array,  # (H, W, 2) from follow_flows
+    active: jax.Array,  # (H, W) bool
+    min_size: int = 15,
+    sink_count: int = 3,
+) -> jax.Array:
+    """Cluster converged pixels into instance masks.
+
+    Landing pixels with at least `sink_count` arrivals form sink regions;
+    sinks are merged with 8-connected labeling (plus one dilation step so
+    near-adjacent sinks fuse), and every active pixel inherits the label of
+    its landing pixel (3x3 mop-up for pixels landing just off a sink).
+    Masks smaller than `min_size` pixels are dropped. Returns int32 labels.
+    """
+    h, w = active.shape
+    n = h * w
+    land_y = jnp.clip(jnp.round(final_positions[..., 0]).astype(jnp.int32), 0, h - 1)
+    land_x = jnp.clip(jnp.round(final_positions[..., 1]).astype(jnp.int32), 0, w - 1)
+    land_flat = (land_y * w + land_x).ravel()
+    act = active.ravel()
+
+    counts = jnp.zeros(n, jnp.int32).at[jnp.where(act, land_flat, n - 1)].add(
+        act.astype(jnp.int32)
+    )
+    sink_map = (counts.reshape(h, w) >= sink_count)
+
+    # one dilation step merges sinks separated by a single pixel
+    sink_dil = sink_map
+    padded = jnp.pad(sink_map, 1)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            sink_dil = sink_dil | lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w))
+
+    sink_labels = cc_label(sink_dil)  # int32 (H, W)
+    sink_labels = jnp.where(sink_map, sink_labels, 0)  # shrink back to true sinks
+
+    # each active pixel takes the label at its landing position; if the
+    # landing pixel has no label, look at the 3x3 neighborhood around it
+    lbl_flat = sink_labels.ravel()
+    direct = lbl_flat[land_flat]
+
+    mopped = direct
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            ny = jnp.clip(land_y + dy, 0, h - 1)
+            nx = jnp.clip(land_x + dx, 0, w - 1)
+            mopped = jnp.maximum(mopped, lbl_flat[(ny * w + nx).ravel()])
+    labels = jnp.where(direct > 0, direct, mopped)
+    labels = jnp.where(act, labels, 0).reshape(h, w)
+
+    # remove small masks
+    sizes = jnp.zeros(n + 1, jnp.int32).at[labels.ravel()].add(1)
+    labels = jnp.where(sizes[labels] >= min_size, labels, 0)
+    return labels
+
+
+@partial(jax.jit, static_argnames=("max_cells", "n_iter"))
+def masks_to_flows(
+    labels: jax.Array, max_cells: int, n_iter: int = 128
+) -> tuple[jax.Array, jax.Array]:
+    """Recompute flows from a label image (the Cellpose training-target /
+    QC construction): diffuse heat from each cell's center within the cell,
+    then take the normalized gradient.
+
+    Returns:
+        (flows (H, W, 2) float32 unit vectors, cellprob-proxy (H, W) bool).
+    """
+    lbl = jnp.asarray(labels).astype(jnp.int32)
+    h, w = lbl.shape
+    nseg = max_cells + 1
+    seg = jnp.clip(lbl.ravel(), 0, max_cells)
+    fg = lbl > 0
+
+    # center pixel per label = pixel closest to the centroid
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    yf = yy.ravel().astype(jnp.float32)
+    xf = xx.ravel().astype(jnp.float32)
+    ones = jnp.ones_like(yf)
+    area = jax.ops.segment_sum(ones, seg, nseg)
+    cy = jax.ops.segment_sum(yf, seg, nseg) / jnp.maximum(area, 1.0)
+    cx = jax.ops.segment_sum(xf, seg, nseg) / jnp.maximum(area, 1.0)
+    d2 = (yf - cy[seg]) ** 2 + (xf - cx[seg]) ** 2
+    d2 = jnp.where(seg > 0, d2, jnp.inf)
+    # per-label argmin in two passes: min distance, then min index among ties
+    dmin = jnp.full((nseg,), jnp.inf, dtype=jnp.float32).at[seg].min(d2)
+    idx = jnp.arange(h * w, dtype=jnp.float32)  # exact up to 2^24 pixels
+    candidate = (d2 == dmin[seg]) & (seg > 0)
+    center_of = (
+        jnp.full((nseg,), jnp.float32(h * w)).at[seg].min(jnp.where(candidate, idx, h * w))
+    )
+    is_center = candidate & (idx == center_of[seg])
+    source = is_center.reshape(h, w).astype(jnp.float32)
+
+    # heat diffusion restricted to same-label neighbors
+    lbl_pad = jnp.pad(lbl, 1, constant_values=-1)
+
+    def same(nbr_T, dy, dx):
+        nbr_lbl = lax.dynamic_slice(lbl_pad, (1 + dy, 1 + dx), (h, w))
+        return jnp.where(nbr_lbl == lbl, nbr_T, 0.0)
+
+    def diffuse(_, T):
+        Tp = jnp.pad(T, 1)
+        acc = T
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            acc = acc + same(lax.dynamic_slice(Tp, (1 + dy, 1 + dx), (h, w)), dy, dx)
+        T_new = acc / 5.0 + source
+        return jnp.where(fg, T_new, 0.0)
+
+    T = lax.fori_loop(0, n_iter, diffuse, source)
+    T = jnp.log1p(T)
+
+    # gradient (central differences within the mask)
+    Tp = jnp.pad(T, 1, mode="edge")
+
+    def nbr(dy, dx):
+        v = lax.dynamic_slice(Tp, (1 + dy, 1 + dx), (h, w))
+        nbr_lbl = lax.dynamic_slice(lbl_pad, (1 + dy, 1 + dx), (h, w))
+        return jnp.where(nbr_lbl == lbl, v, T)
+
+    gy = (nbr(1, 0) - nbr(-1, 0)) / 2.0
+    gx = (nbr(0, 1) - nbr(0, -1)) / 2.0
+    norm = jnp.sqrt(gy * gy + gx * gx)
+    unit_y = jnp.where(fg & (norm > 1e-6), gy / jnp.maximum(norm, 1e-6), 0.0)
+    unit_x = jnp.where(fg & (norm > 1e-6), gx / jnp.maximum(norm, 1e-6), 0.0)
+    return jnp.stack([unit_y, unit_x], axis=-1), fg
+
+
+@partial(jax.jit, static_argnames=("max_cells",))
+def flow_error(
+    labels: jax.Array,
+    predicted_flows: jax.Array,  # (H, W, 2) unit flows from the network
+    max_cells: int,
+) -> jax.Array:
+    """Per-mask mean squared error between predicted flows and the flows the
+    mask itself implies (Cellpose's QC criterion). Returns (max_cells,)."""
+    computed, _ = masks_to_flows(labels, max_cells)
+    lbl = jnp.asarray(labels).astype(jnp.int32)
+    nseg = max_cells + 1
+    seg = jnp.clip(lbl.ravel(), 0, max_cells)
+    se = jnp.sum((predicted_flows - computed) ** 2, axis=-1).ravel()
+    total = jax.ops.segment_sum(se, seg, nseg)
+    count = jax.ops.segment_sum(jnp.ones_like(se), seg, nseg)
+    err = total / jnp.maximum(count, 1.0)
+    return err[1:]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("niter", "max_cells", "min_size", "flow_threshold"),
+)
+def compute_masks(
+    network_output: jax.Array,  # (H, W, 3): dY, dX, cellprob logits
+    cellprob_threshold: float = 0.0,
+    flow_threshold: float = 0.4,
+    niter: int = 200,
+    max_cells: int = 1024,
+    min_size: int = 15,
+) -> jax.Array:
+    """Full mask reconstruction: threshold cellprob, integrate flows, cluster
+    sinks, QC by flow error, relabel sequentially. Returns int32 labels.
+
+    `flow_threshold <= 0` disables the QC pass (Cellpose convention).
+
+    The network is trained against 5x-scaled unit flows (the Cellpose
+    target convention); integration and QC use the unit-scale field.
+    """
+    from ..ops.labeling import relabel_sequential
+
+    flows = network_output[..., :2] / 5.0
+    cellprob = network_output[..., 2]
+    active = cellprob > cellprob_threshold
+
+    positions = follow_flows(flows, active, niter=niter)
+    labels = masks_from_flows(positions, active, min_size=min_size)
+    labels = relabel_sequential(labels)
+
+    if flow_threshold > 0:
+        errors = flow_error(labels, flows, max_cells)
+        bad = errors > flow_threshold
+        # map per-label badness back onto pixels
+        bad_lut = jnp.concatenate([jnp.array([False]), bad])
+        keep = ~bad_lut[jnp.clip(labels, 0, max_cells)]
+        labels = jnp.where(keep, labels, 0)
+        labels = relabel_sequential(labels)
+
+    return labels

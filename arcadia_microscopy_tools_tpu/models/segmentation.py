@@ -1,0 +1,318 @@
+"""High-throughput segmentation model wrapper.
+
+API twin of the reference's `SegmentationModel`
+(`src/arcadia_microscopy_tools/model.py:28-290`): same defaults (diameter 30,
+flow_threshold 0.4, cellprob_threshold 0, niter None, batch_size 8), same
+validation ranges, the same lazy model load-and-cache, and the same
+`batch_segment` per-image failure isolation (SegmentationWarning + None
+placeholder, index alignment preserved).
+
+What changed underneath: the Cellpose/PyTorch model and CUDA/MPS device pick
+are replaced by the from-scratch JAX U-Net (`models.unet`), flow-tracking
+reconstruction (`models.flows`), and JAX device/mesh discovery - on TPU the
+network runs in bfloat16 on the MXU and the whole forward + mask
+reconstruction is one fused jitted program per input shape.
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Any, TypedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..exceptions import SegmentationWarning
+from ..typing import Float64Array, Int64Array
+from ..utils import get_tqdm
+from .flows import compute_masks
+from .unet import UNetConfig, apply_unet, init_unet
+
+logger = logging.getLogger(__name__)
+
+_DOWNSAMPLE_MULTIPLE = 16  # pad H, W to this multiple for the U-Net
+
+
+class SegmentationParams(TypedDict):
+    """Resolved parameters for a segmentation run."""
+
+    diameter: float
+    flow_threshold: float
+    cellprob_threshold: float
+    niter: int | None
+    batch_size: int
+
+
+def find_best_available_device() -> jax.Device:
+    """Pick the best compute device: TPU > GPU > CPU (the analogue of the
+    reference's CUDA > MPS > CPU selection, model.py:134-158)."""
+    devices = jax.devices()
+    by_kind = {d.platform: d for d in reversed(devices)}
+    if "tpu" in by_kind:
+        device = by_kind["tpu"]
+        logger.info(f"Using TPU: {device.device_kind} ({len(jax.devices('tpu'))} chips visible)")
+    elif "gpu" in by_kind:
+        device = by_kind["gpu"]
+        logger.info(f"Using GPU: {device.device_kind}")
+    else:
+        device = devices[0]
+        logger.info("No accelerator available. Using CPU.")
+    return device
+
+
+@partial(jax.jit, static_argnames=("niter", "max_cells", "min_size", "flow_threshold"))
+def _segment_program(
+    params,
+    image,  # (H, W, 3) float32, already normalized and padded
+    cellprob_threshold,
+    flow_threshold: float,
+    niter: int,
+    max_cells: int,
+    min_size: int,
+):
+    """One fused device program: U-Net forward + flow tracking + QC."""
+    out = apply_unet(params, image[None])[0]
+    return compute_masks(
+        out,
+        cellprob_threshold=cellprob_threshold,
+        flow_threshold=flow_threshold,
+        niter=niter,
+        max_cells=max_cells,
+        min_size=min_size,
+    )
+
+
+@dataclass
+class SegmentationModel:
+    """U-Net segmentation wrapper for high-throughput cell segmentation.
+
+    Attributes:
+        default_cell_diameter_px: Default expected cell diameter in pixels.
+            Default is 30 (the training distribution mean, as in Cellpose).
+        default_flow_threshold: Default flow error threshold for mask
+            generation. Higher values keep more masks. Must be >= 0.
+            Default is 0.4.
+        default_cellprob_threshold: Default cell probability threshold.
+            Higher values yield fewer, more confident masks. Must be between
+            -10 and 10. Default is 0.
+        default_num_iterations: Default number of flow-integration steps.
+            If None, uses a diameter-proportional default.
+        default_batch_size: Number of images dispatched to the device at
+            once in batched paths. Default is 8.
+        device: JAX device for model computation. If None, automatically
+            selects the best available device (TPU > GPU > CPU).
+        checkpoint_path: Optional orbax checkpoint directory with trained
+            weights; otherwise deterministic seeded weights are used (the
+            mechanism-parity mode: identical pipeline, untrained network).
+        seed: PRNG seed for weight initialization when no checkpoint is given.
+    """
+
+    default_cell_diameter_px: float = 30
+    default_flow_threshold: float = 0.4
+    default_cellprob_threshold: float = 0
+    default_num_iterations: int | None = None
+    default_batch_size: int = 8
+    device: jax.Device | None = field(default=None)
+    checkpoint_path: Path | None = None
+    seed: int = 0
+    max_cells: int = 4096
+    min_size: int = 15
+    _params: Any = field(default=None, init=False, repr=False)
+    _config: UNetConfig = field(default_factory=UNetConfig, init=False, repr=False)
+
+    def __post_init__(self) -> None:
+        """Set device if not provided."""
+        if self.device is None:
+            self.device = find_best_available_device()
+
+    def _resolve_and_validate_parameters(
+        self,
+        cell_diameter_px: float | None,
+        flow_threshold: float | None,
+        cellprob_threshold: float | None,
+        num_iterations: int | None,
+        batch_size: int | None,
+    ) -> SegmentationParams:
+        """Resolve parameters from provided values or defaults, then validate
+        (same ranges as the reference, model.py:117-132)."""
+        params: SegmentationParams = {
+            "diameter": cell_diameter_px
+            if cell_diameter_px is not None
+            else self.default_cell_diameter_px,
+            "flow_threshold": flow_threshold
+            if flow_threshold is not None
+            else self.default_flow_threshold,
+            "cellprob_threshold": cellprob_threshold
+            if cellprob_threshold is not None
+            else self.default_cellprob_threshold,
+            "niter": num_iterations if num_iterations is not None else self.default_num_iterations,
+            "batch_size": batch_size if batch_size is not None else self.default_batch_size,
+        }
+
+        if params["diameter"] <= 0:
+            raise ValueError(f"Cell diameter [px] must be positive, got {params['diameter']}")
+        if params["flow_threshold"] < 0:
+            raise ValueError(
+                f"Flow threshold must be non-negative, got {params['flow_threshold']}"
+            )
+        if not (-10 <= params["cellprob_threshold"] <= 10):
+            raise ValueError(
+                "Cell probability threshold must be between -10 and 10, got "
+                f"{params['cellprob_threshold']}"
+            )
+
+        return params
+
+    @property
+    def network(self):
+        """Lazy-load and cache the network parameters (checkpoint or seeded)."""
+        if self._params is None:
+            if self.checkpoint_path is not None:
+                from .weights import load_checkpoint
+
+                logger.info(f"Loading U-Net weights from {self.checkpoint_path} on {self.device}")
+                self._params = load_checkpoint(self.checkpoint_path)
+            else:
+                logger.info(f"Initializing seeded U-Net weights on {self.device}")
+                self._params = init_unet(jax.random.PRNGKey(self.seed), self._config)
+            self._params = jax.device_put(self._params, self.device)
+        return self._params
+
+    # kept as an alias so reference-style call sites keep working
+    cellpose_model = network
+
+    @staticmethod
+    def _prepare_image(intensities: np.ndarray) -> tuple[jnp.ndarray, tuple[int, int]]:
+        """Normalize to [0,1] by the 1-99 percentile stretch (the Cellpose
+        input convention), arrange to (H, W, 3), pad to the U-Net multiple."""
+        x = np.asarray(intensities, dtype=np.float32)
+        if x.ndim == 2:
+            x = x[None]
+        if x.ndim != 3:
+            raise ValueError(f"Expected ([C], H, W) input, got shape {x.shape}")
+        c, h, w = x.shape
+        if c > 3:
+            x = x[:3]
+        elif c < 3:
+            x = np.concatenate([x] + [x[-1:]] * (3 - c), axis=0)
+
+        p1 = np.percentile(x, 1, axis=(1, 2), keepdims=True)
+        p99 = np.percentile(x, 99, axis=(1, 2), keepdims=True)
+        denom = np.maximum(p99 - p1, 1e-6)
+        x = np.clip((x - p1) / denom, 0.0, 1.0)
+
+        pad_h = (-h) % _DOWNSAMPLE_MULTIPLE
+        pad_w = (-w) % _DOWNSAMPLE_MULTIPLE
+        x = np.pad(x, ((0, 0), (0, pad_h), (0, pad_w)), mode="reflect")
+        return jnp.asarray(np.moveaxis(x, 0, -1)), (h, w)
+
+    def _resolve_niter(self, params: SegmentationParams) -> int:
+        if params["niter"] is not None:
+            return int(params["niter"])
+        # diameter-proportional default (~200 at the canonical 30 px)
+        return max(50, int(round(200 * params["diameter"] / 30.0)))
+
+    def segment(
+        self,
+        intensities: Float64Array,
+        cell_diameter_px: float | None = None,
+        flow_threshold: float | None = None,
+        cellprob_threshold: float | None = None,
+        num_iterations: int | None = None,
+        batch_size: int | None = None,
+        **extra_kwargs: Any,
+    ) -> Int64Array:
+        """Run cell segmentation on one image.
+
+        Args:
+            intensities: Input image with shape ([channel], height, width),
+                values typically normalized floats in [0, 1] (raw intensities
+                are renormalized internally).
+            cell_diameter_px / flow_threshold / cellprob_threshold /
+            num_iterations / batch_size: Per-call overrides of the defaults
+                (see class attributes).
+
+        Returns:
+            Segmentation mask as Int64Array (consecutive labels, bg=0).
+
+        Raises:
+            ValueError: If parameters are out of valid ranges.
+            RuntimeError: If segmentation fails on device.
+        """
+        resolved = self._resolve_and_validate_parameters(
+            cell_diameter_px, flow_threshold, cellprob_threshold, num_iterations, batch_size
+        )
+        try:
+            image, (h, w) = self._prepare_image(np.asarray(intensities))
+            labels = _segment_program(
+                self.network,
+                image,
+                jnp.float32(resolved["cellprob_threshold"]),
+                float(resolved["flow_threshold"]),
+                self._resolve_niter(resolved),
+                self.max_cells,
+                self.min_size,
+            )
+            return np.asarray(labels[:h, :w]).astype(np.int64)
+        except ValueError:
+            raise
+        except Exception as e:  # noqa: BLE001 - mirrors reference error wrapping
+            raise RuntimeError(f"Segmentation failed: {e}") from e
+
+    def batch_segment(
+        self,
+        intensities_batch: Sequence[Float64Array],
+        cell_diameter_px: float | None = None,
+        flow_threshold: float | None = None,
+        cellprob_threshold: float | None = None,
+        num_iterations: int | None = None,
+        batch_size: int | None = None,
+        show_progress: bool = True,
+        **extra_kwargs: Any,
+    ) -> list[Int64Array | None]:
+        """Run cell segmentation on multiple images.
+
+        All images are processed with the same parameters, resolved and
+        validated once. Each image is processed independently; failures emit
+        a SegmentationWarning and a None placeholder while the batch
+        continues (index alignment preserved - reference model.py:276-288).
+        """
+        resolved = self._resolve_and_validate_parameters(
+            cell_diameter_px, flow_threshold, cellprob_threshold, num_iterations, batch_size
+        )
+
+        masks: list[Int64Array | None] = []
+        iterator = enumerate(intensities_batch)
+        if show_progress:
+            tqdm = get_tqdm()
+            iterator = tqdm(iterator, total=len(intensities_batch), desc="Segmenting")
+
+        niter = self._resolve_niter(resolved)
+        for i, intensities in iterator:
+            try:
+                image, (h, w) = self._prepare_image(np.asarray(intensities))
+                labels = _segment_program(
+                    self.network,
+                    image,
+                    jnp.float32(resolved["cellprob_threshold"]),
+                    float(resolved["flow_threshold"]),
+                    niter,
+                    self.max_cells,
+                    self.min_size,
+                )
+                masks.append(np.asarray(labels[:h, :w]).astype(np.int64))
+            except Exception as e:  # noqa: BLE001
+                warnings.warn(
+                    f"Segmentation failed on image {i}: {e}",
+                    SegmentationWarning,
+                    stacklevel=2,
+                )
+                masks.append(None)
+
+        return masks

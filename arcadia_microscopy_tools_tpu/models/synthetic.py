@@ -1,0 +1,72 @@
+"""Synthetic cell-image generation for training and testing.
+
+Generates random-ellipse "cells" with realistic intensity structure (bright
+rims / graded interiors, background noise, illumination gradients) plus their
+ground-truth label images - the same style of analytic fixture the reference
+uses for mask tests (test_masks.py:14-30), extended to training data for the
+flow-predicting U-Net.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["synthesize_cells"]
+
+
+def synthesize_cells(
+    rng: np.random.Generator,
+    shape: tuple[int, int] = (256, 256),
+    n_cells: int = 24,
+    radius_range: tuple[float, float] = (8.0, 18.0),
+    eccentricity_max: float = 0.6,
+    noise: float = 0.05,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Generate one synthetic image and its label mask.
+
+    Returns:
+        (image float32 (H, W) in [0, 1], labels int32 (H, W)).
+    """
+    h, w = shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    labels = np.zeros(shape, dtype=np.int32)
+    image = np.zeros(shape, dtype=np.float64)
+
+    placed = 0
+    attempts = 0
+    centers: list[tuple[float, float, float]] = []
+    while placed < n_cells and attempts < n_cells * 30:
+        attempts += 1
+        r = rng.uniform(*radius_range)
+        cy = rng.uniform(r + 2, h - r - 2)
+        cx = rng.uniform(r + 2, w - r - 2)
+        # keep centers separated to avoid heavy merging
+        if any((cy - oy) ** 2 + (cx - ox) ** 2 < (0.9 * (r + orr)) ** 2 for oy, ox, orr in centers):
+            continue
+        centers.append((cy, cx, r))
+        ecc = rng.uniform(0, eccentricity_max)
+        b = r * np.sqrt(1 - ecc**2)
+        theta = rng.uniform(0, np.pi)
+        ct, st = np.cos(theta), np.sin(theta)
+        yr = (yy - cy) * ct - (xx - cx) * st
+        xr = (yy - cy) * st + (xx - cx) * ct
+        d = (yr / r) ** 2 + (xr / b) ** 2
+        inside = d <= 1.0
+        new = inside & (labels == 0)
+        placed += 1
+        labels[new] = placed
+        # graded interior + bright rim
+        profile = np.where(inside, 0.55 + 0.25 * np.exp(-3 * d) + 0.3 * np.exp(-((1 - d) * 4) ** 2), 0.0)
+        image = np.where(new, profile, image)
+
+    # illumination gradient + noise
+    gradient = 0.06 * (xx / w) + 0.04 * (yy / h)
+    image = image + gradient + rng.normal(0, noise, shape)
+    image = np.clip(image, 0, 1).astype(np.float32)
+
+    # compact labels (cells fully overwritten by later ones would leave gaps)
+    unique = np.unique(labels)
+    unique = unique[unique > 0]
+    remap = np.zeros(labels.max() + 1, dtype=np.int32)
+    remap[unique] = np.arange(1, len(unique) + 1)
+    return image, remap[labels]

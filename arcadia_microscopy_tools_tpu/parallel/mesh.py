@@ -1,0 +1,72 @@
+"""Device mesh construction and sharding helpers.
+
+The reference's only parallelism is a host thread pool
+(`src/arcadia_microscopy_tools/pipeline.py:139-149`); here the unit of
+scale-out is a `jax.sharding.Mesh`. HCS plates are embarrassingly parallel
+across wells, so the primary axis is data parallelism ("wells"); a second
+optional axis ("space") spatially shards very large tiles, with halo
+exchange provided by `parallel.collectives`.
+
+Configuration follows the reference's dataclass-with-defaults style: one
+explicit `MeshConfig`, resolved eagerly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+__all__ = ["MeshConfig", "create_mesh", "well_sharding", "replicated"]
+
+WELL_AXIS = "wells"
+SPACE_AXIS = "space"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Mesh configuration.
+
+    Attributes:
+        n_devices: Number of devices to use (None = all available).
+        space_parallelism: Devices per image for spatial sharding (1 = each
+            image lives on one chip; >1 shards the Y axis across chips with
+            halo exchange for stencil ops).
+    """
+
+    n_devices: int | None = None
+    space_parallelism: int = 1
+
+    def resolve_devices(self) -> list[jax.Device]:
+        devices = jax.devices()
+        n = self.n_devices if self.n_devices is not None else len(devices)
+        if n > len(devices):
+            raise ValueError(f"Requested {n} devices but only {len(devices)} available")
+        return devices[:n]
+
+
+def create_mesh(config: MeshConfig | None = None) -> Mesh:
+    """Build a (wells, space) mesh over the available devices."""
+    config = config or MeshConfig()
+    devices = config.resolve_devices()
+    n = len(devices)
+    sp = config.space_parallelism
+    if n % sp != 0:
+        raise ValueError(f"space_parallelism={sp} must divide device count {n}")
+    grid = np.array(devices).reshape(n // sp, sp)
+    return Mesh(grid, axis_names=(WELL_AXIS, SPACE_AXIS))
+
+
+def well_sharding(mesh: Mesh, *, spatial: bool = False) -> NamedSharding:
+    """Sharding for a (B, ...) well batch: batch over the wells axis; when
+    `spatial`, also shard the first spatial axis (Y) over the space axis."""
+    if spatial:
+        return NamedSharding(mesh, PartitionSpec(WELL_AXIS, SPACE_AXIS))
+    return NamedSharding(mesh, PartitionSpec(WELL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (e.g. model weights on every chip)."""
+    return NamedSharding(mesh, PartitionSpec())

@@ -1,0 +1,407 @@
+"""Sharded end-to-end HCS plate pipeline.
+
+The BASELINE config-5 path: well images -> preprocess -> segment -> per-cell
+morphology + fluorescence quantification, for a whole microplate. The
+reference processes one image at a time through Python loops
+(`src/arcadia_microscopy_tools/model.py:276-288` is a serial loop even on
+GPU); here a batch of wells is one jitted, vmapped program sharded over the
+`wells` mesh axis, so every chip processes its shard of the plate with zero
+host round-trips inside a batch.
+
+Aux subsystems the reference lacks (SURVEY.md section 5), provided here:
+- per-well failure isolation with the same SegmentationWarning semantics
+  (a failed well yields None and the run continues);
+- checkpoint/resume: per-well results are written under `checkpoint_dir`
+  with a manifest; a re-run skips completed wells;
+- timing metrics per stage.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+import warnings
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..core.channels import Channel
+from ..core.microplate import MicroplateLayout
+from ..exceptions import SegmentationWarning
+from ..ops.basic import rescale_by_percentile, subtract_background_dog
+from ..ops.labeling import clear_border, label, relabel_sequential
+from ..ops.morphology import binary_opening, disk
+from ..ops.regionprops import measure_intensity, measure_labels
+from ..ops.threshold import _GLOBAL_METHODS
+from .mesh import MeshConfig, create_mesh, well_sharding
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["PlateRunConfig", "PlateRunner", "PlateResults"]
+
+
+@dataclass(frozen=True)
+class PlateRunConfig:
+    """Configuration for a plate run (constructor-args-with-defaults style).
+
+    Attributes:
+        seg_channel_index: Index of the channel used for segmentation
+            (e.g. the DAPI channel).
+        method: "classical" (DoG -> rescale -> threshold -> morphology -> CC)
+            or "unet" (U-Net + flow tracking).
+        threshold_method: Global threshold for the classical path.
+        low_sigma / high_sigma: DoG sigmas for background subtraction.
+        opening_radius: Binary opening radius for mask cleanup (0 = off).
+        remove_edge_cells: Drop cells touching image borders.
+        max_cells: Static per-well cell capacity (padded measurements).
+        batch_size: Wells per device dispatch (None = one per device).
+        measure_channel_indices: Channels to quantify per cell (None = all).
+        min_size: Minimum object size in pixels (classical path cleanup and
+            unet mask filter).
+    """
+
+    seg_channel_index: int = 0
+    method: str = "classical"
+    threshold_method: str = "otsu"
+    low_sigma: float = 1.0
+    high_sigma: float = 16.0
+    opening_radius: int = 0
+    remove_edge_cells: bool = False
+    max_cells: int = 1024
+    batch_size: int | None = None
+    measure_channel_indices: tuple[int, ...] | None = None
+    min_size: int = 15
+    cellprob_threshold: float = 0.0
+    flow_threshold: float = 0.4
+    niter: int = 200
+
+
+class PlateResults:
+    """Per-well measurement tables plus run metadata."""
+
+    def __init__(self, tables: dict[str, pd.DataFrame | None], timings: dict[str, float]):
+        self.tables = tables
+        self.timings = timings
+
+    @property
+    def failed_wells(self) -> list[str]:
+        return [w for w, t in self.tables.items() if t is None]
+
+    def to_dataframe(self) -> pd.DataFrame:
+        """All wells concatenated with a well_id column."""
+        frames = []
+        for well_id, table in self.tables.items():
+            if table is None or table.empty:
+                continue
+            t = table.copy()
+            t.insert(0, "well_id", well_id)
+            frames.append(t)
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
+
+    def summary(self) -> pd.DataFrame:
+        """Per-well cell counts and mean morphology."""
+        rows = []
+        for well_id, table in self.tables.items():
+            if table is None:
+                rows.append({"well_id": well_id, "num_cells": -1})
+                continue
+            row = {"well_id": well_id, "num_cells": len(table)}
+            for col in ("area", "circularity"):
+                if col in table:
+                    row[f"mean_{col}"] = float(table[col].mean()) if len(table) else np.nan
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+
+def _build_well_program(config: PlateRunConfig, n_channels: int, unet_params=None):
+    """Trace-time construction of the fused single-well program; the caller
+    vmaps it over the batch and shards the batch over the mesh."""
+    seg_idx = config.seg_channel_index
+    measure_idx = (
+        config.measure_channel_indices
+        if config.measure_channel_indices is not None
+        else tuple(range(n_channels))
+    )
+    threshold_fn = _GLOBAL_METHODS[config.threshold_method]
+
+    def classical_mask(seg_img):
+        x = subtract_background_dog(
+            seg_img, low_sigma=config.low_sigma, high_sigma=config.high_sigma
+        )
+        x = rescale_by_percentile(x, (0.5, 99.9))
+        # quantize the normalized image so the integer-exact histogram
+        # thresholds apply; 16-bit quantization is far below noise level
+        q = (x * 65535.0).astype(jnp.uint16)
+        thresh = threshold_fn(q)
+        mask = q.astype(jnp.float32) > thresh
+        if config.opening_radius > 0:
+            mask = binary_opening(mask, disk(config.opening_radius))
+        return mask
+
+    def unet_mask(seg_img):
+        from ..models.flows import compute_masks
+        from ..models.unet import apply_unet
+
+        x = seg_img.astype(jnp.float32)
+        p1 = jnp.percentile(x, 1.0)
+        p99 = jnp.percentile(x, 99.0)
+        xn = jnp.clip((x - p1) / jnp.maximum(p99 - p1, 1e-6), 0.0, 1.0)
+        net_in = jnp.stack([xn, xn, xn], axis=-1)[None]
+        out = apply_unet(unet_params, net_in)[0]
+        return compute_masks(
+            out,
+            cellprob_threshold=config.cellprob_threshold,
+            flow_threshold=config.flow_threshold,
+            niter=config.niter,
+            max_cells=config.max_cells,
+            min_size=config.min_size,
+        )
+
+    def well_fn(img):  # (C, H, W) uint16
+        seg_img = img[seg_idx]
+        if config.method == "classical":
+            mask = classical_mask(seg_img)
+            lbl = label(mask)
+        elif config.method == "unet":
+            lbl = unet_mask(seg_img)
+        else:
+            raise ValueError(f"Unknown segmentation method: {config.method!r}")
+
+        if config.remove_edge_cells:
+            lbl = clear_border(lbl)
+        if config.min_size > 0 and config.method == "classical":
+            n = lbl.size
+            counts = jnp.zeros(n + 1, jnp.int32).at[jnp.clip(lbl.ravel(), 0, n)].add(1)
+            lbl = jnp.where(counts[jnp.clip(lbl, 0, n)] >= config.min_size, lbl, 0)
+        lbl = relabel_sequential(lbl)
+
+        props = measure_labels(lbl, max_cells=config.max_cells)
+        intensity = {}
+        for ci in measure_idx:
+            intensity[ci] = measure_intensity(lbl, img[ci], max_cells=config.max_cells)
+        return lbl, props, intensity
+
+    return well_fn
+
+
+class PlateRunner:
+    """Runs a plate of wells through the fused pipeline on a device mesh."""
+
+    def __init__(
+        self,
+        config: PlateRunConfig | None = None,
+        mesh_config: MeshConfig | None = None,
+        unet_params: Any = None,
+        checkpoint_dir: str | Path | None = None,
+    ):
+        self.config = config or PlateRunConfig()
+        self.mesh = create_mesh(mesh_config)
+        self.unet_params = unet_params
+        if self.config.method == "unet" and unet_params is None:
+            from ..models.weights import seeded_params
+
+            self.unet_params = seeded_params()
+        self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
+        self._compiled: dict[tuple, Callable] = {}
+
+    # -- checkpoint / resume -------------------------------------------------------
+
+    def _manifest_path(self) -> Path:
+        assert self.checkpoint_dir is not None
+        return self.checkpoint_dir / "manifest.json"
+
+    def _load_manifest(self) -> dict[str, str]:
+        if self.checkpoint_dir is None or not self._manifest_path().exists():
+            return {}
+        return json.loads(self._manifest_path().read_text())
+
+    def _record_well(self, manifest: dict[str, str], well_id: str, table: pd.DataFrame) -> None:
+        if self.checkpoint_dir is None:
+            return
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        out = self.checkpoint_dir / f"{well_id}.csv"
+        table.to_csv(out, index=False)
+        manifest[well_id] = out.name
+        self._manifest_path().write_text(json.dumps(manifest, indent=1))
+
+    def _load_well(self, manifest: dict[str, str], well_id: str) -> pd.DataFrame | None:
+        if self.checkpoint_dir is None or well_id not in manifest:
+            return None
+        path = self.checkpoint_dir / manifest[well_id]
+        if not path.exists():
+            return None
+        return pd.read_csv(path)
+
+    # -- execution --------------------------------------------------------------------
+
+    def _get_compiled(self, n_channels: int, shape: tuple[int, int]):
+        key = (n_channels, shape)
+        if key not in self._compiled:
+            well_fn = _build_well_program(self.config, n_channels, self.unet_params)
+            batched = jax.vmap(well_fn)
+            sharding = well_sharding(self.mesh)
+            self._compiled[key] = jax.jit(batched, in_shardings=(sharding,))
+        return self._compiled[key]
+
+    def _batch_size(self) -> int:
+        if self.config.batch_size is not None:
+            return self.config.batch_size
+        return self.mesh.shape["wells"]
+
+    def _results_to_table(
+        self,
+        props: dict[str, np.ndarray],
+        intensity: dict[int, dict[str, np.ndarray]],
+        channels: list[Channel] | None,
+        well_index: int,
+    ) -> pd.DataFrame:
+        valid = np.asarray(props["valid"][well_index])
+        n = int(valid.sum())
+        data: dict[str, np.ndarray] = {}
+        order = [
+            "label",
+            "area",
+            "centroid_y",
+            "centroid_x",
+            "perimeter",
+            "eccentricity",
+            "axis_major_length",
+            "axis_minor_length",
+            "orientation",
+            "extent",
+        ]
+        for name in order:
+            data[name] = np.asarray(props[name][well_index])[:n]
+        area = data["area"]
+        perim = data["perimeter"]
+        data["circularity"] = np.where(perim > 0, 4 * np.pi * area / perim**2, 0.0)
+        a = data["axis_major_length"] / 2
+        b = data["axis_minor_length"] / 2
+        data["volume"] = np.where((a > 0) & (b > 0), 4 / 3 * np.pi * a * b * b, 0.0)
+        for ci, stats in intensity.items():
+            suffix = channels[ci].name.lower() if channels else f"ch{ci}"
+            for stat_name, values in stats.items():
+                data[f"{stat_name}_{suffix}"] = np.asarray(values[well_index])[:n]
+        return pd.DataFrame(data)
+
+    def run(
+        self,
+        layout: MicroplateLayout,
+        image_source: Mapping[str, np.ndarray] | Callable[[str], np.ndarray],
+        channels: list[Channel] | None = None,
+        show_progress: bool = False,
+    ) -> PlateResults:
+        """Process every well of `layout`.
+
+        Args:
+            layout: The plate layout (well ids drive scheduling).
+            image_source: Mapping or callable well_id -> (C, H, W) uint16
+                array. Host decode errors are isolated per well.
+            channels: Channel identities for intensity-stat naming.
+            show_progress: Display a progress bar over batches.
+
+        Returns:
+            PlateResults with one table per well (None for failed wells).
+        """
+        timings = {"decode_s": 0.0, "device_s": 0.0, "assemble_s": 0.0}
+        manifest = self._load_manifest()
+        tables: dict[str, pd.DataFrame | None] = {}
+
+        def fetch(well_id: str) -> np.ndarray | None:
+            t0 = time.time()
+            try:
+                img = (
+                    image_source(well_id)
+                    if callable(image_source)
+                    else image_source[well_id]
+                )
+                img = np.asarray(img)
+                if img.ndim == 2:
+                    img = img[None]
+                return img
+            except Exception as e:  # noqa: BLE001
+                warnings.warn(
+                    f"Failed to load image for well {well_id}: {e}",
+                    SegmentationWarning,
+                    stacklevel=2,
+                )
+                return None
+            finally:
+                timings["decode_s"] += time.time() - t0
+
+        pending: list[str] = []
+        for well_id in layout.well_ids:
+            cached = self._load_well(manifest, well_id)
+            if cached is not None:
+                tables[well_id] = cached
+            else:
+                pending.append(well_id)
+
+        batch_size = self._batch_size()
+        batches = [pending[i : i + batch_size] for i in range(0, len(pending), batch_size)]
+        iterator = batches
+        if show_progress:
+            from ..utils import get_tqdm
+
+            iterator = get_tqdm()(batches, desc="Plate")
+
+        for batch_ids in iterator:
+            images: list[np.ndarray] = []
+            ok_ids: list[str] = []
+            for well_id in batch_ids:
+                img = fetch(well_id)
+                if img is None:
+                    tables[well_id] = None
+                else:
+                    images.append(img)
+                    ok_ids.append(well_id)
+            if not images:
+                continue
+
+            # pad the final partial batch to the full batch size so one
+            # compiled program serves the whole plate
+            n_real = len(images)
+            while len(images) < batch_size:
+                images.append(images[-1])
+
+            stack = np.stack(images)
+            n_channels = stack.shape[1]
+            program = self._get_compiled(n_channels, stack.shape[-2:])
+
+            t0 = time.time()
+            try:
+                lbl, props, intensity = program(jnp.asarray(stack))
+                jax.block_until_ready(props["area"])
+            except Exception as e:  # noqa: BLE001
+                warnings.warn(
+                    f"Device batch failed for wells {ok_ids}: {e}",
+                    SegmentationWarning,
+                    stacklevel=2,
+                )
+                for well_id in ok_ids:
+                    tables[well_id] = None
+                continue
+            timings["device_s"] += time.time() - t0
+
+            t0 = time.time()
+            props_h = {k: np.asarray(v) for k, v in props.items()}
+            intensity_h = {
+                ci: {k: np.asarray(v) for k, v in stats.items()}
+                for ci, stats in intensity.items()
+            }
+            for i, well_id in enumerate(ok_ids[:n_real]):
+                table = self._results_to_table(props_h, intensity_h, channels, i)
+                tables[well_id] = table
+                self._record_well(manifest, well_id, table)
+            timings["assemble_s"] += time.time() - t0
+
+        return PlateResults(tables, timings)

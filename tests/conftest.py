@@ -9,17 +9,18 @@ JAX a fake 8-device topology instead).
 
 import os
 
-# Must happen before jax initializes a backend.
+# Must happen before jax initializes a backend. Note: the environment's
+# sitecustomize registers a TPU plugin in every process; only the explicit
+# config update below reliably selects the CPU backend with virtual devices.
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-# XLA compilation is routed through a remote compile service in this
-# environment (~15 s per program); the persistent cache makes reruns cheap.
+# XLA compilation may be routed through a remote compile service in this
+# environment; the persistent cache makes reruns cheap.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp"))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from pathlib import Path

@@ -1,0 +1,219 @@
+"""Deep segmentation stack tests (mirrors the reference's test_model.py
+strategy: parameter resolution/validation, lazy load caching, failure
+isolation with fake backends - plus mechanism tests the reference can't do:
+perfect-flow mask reconstruction and flow round-trips)."""
+
+import warnings
+from unittest.mock import patch
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from arcadia_microscopy_tools_tpu.exceptions import SegmentationWarning
+from arcadia_microscopy_tools_tpu.model import SegmentationModel
+from arcadia_microscopy_tools_tpu.models.flows import (
+    compute_masks,
+    flow_error,
+    follow_flows,
+    masks_to_flows,
+)
+from arcadia_microscopy_tools_tpu.models.synthetic import synthesize_cells
+from arcadia_microscopy_tools_tpu.models.unet import (
+    UNetConfig,
+    apply_unet,
+    count_params,
+    init_unet,
+)
+
+
+@pytest.fixture(scope="module")
+def unet_params():
+    return init_unet(jax.random.PRNGKey(0), UNetConfig(compute_dtype=jnp.float32))
+
+
+class TestUNet:
+    def test_output_shape_and_dtype(self, unet_params):
+        x = jnp.zeros((2, 32, 32, 3))
+        out = apply_unet(unet_params, x, UNetConfig(compute_dtype=jnp.float32))
+        assert out.shape == (2, 32, 32, 3)
+        assert out.dtype == jnp.float32
+
+    def test_param_count_reasonable(self, unet_params):
+        n = count_params(unet_params)
+        assert 1e6 < n < 1e7  # ~2.2M
+
+    def test_deterministic_init(self):
+        a = init_unet(jax.random.PRNGKey(7))
+        b = init_unet(jax.random.PRNGKey(7))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(x, y)
+
+    def test_translation_covariance_smoke(self, unet_params):
+        # Shifting the input shifts the output (away from borders). The
+        # global GroupNorm statistics and style vector break exact equality,
+        # so assert strong correlation rather than closeness.
+        cfg = UNetConfig(compute_dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        base = rng.random((1, 64, 64, 3)).astype(np.float32)
+        shifted = np.roll(base, 16, axis=1)
+        out1 = np.asarray(apply_unet(unet_params, jnp.asarray(base), cfg))
+        out2 = np.asarray(apply_unet(unet_params, jnp.asarray(shifted), cfg))
+        a = out1[0, 24:36, 24:36].ravel()
+        b = out2[0, 40:52, 24:36].ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.95
+
+
+class TestFlows:
+    def test_masks_to_flows_points_inward(self, rng):
+        img, lbl = synthesize_cells(rng, (96, 96), n_cells=5)
+        flows, fg = masks_to_flows(jnp.asarray(lbl), 32)
+        flows = np.asarray(flows)
+        fg = np.asarray(fg)
+        assert fg.sum() == (lbl > 0).sum()
+        # unit magnitude inside cells (except exact centers)
+        mag = np.hypot(flows[..., 0], flows[..., 1])
+        inside = (lbl > 0) & (mag > 0)
+        np.testing.assert_allclose(mag[inside], 1.0, atol=1e-4)
+        # flows point toward each cell's centroid (positive inward component)
+        ys, xs = np.nonzero(lbl > 0)
+        inward_frac_total = 0.0
+        for k in range(1, lbl.max() + 1):
+            sel = lbl == k
+            cy, cx = np.argwhere(sel).mean(axis=0)
+            yy, xx = np.nonzero(sel)
+            to_center = np.stack([cy - yy, cx - xx], axis=-1)
+            norm = np.linalg.norm(to_center, axis=-1, keepdims=True)
+            ok = norm[:, 0] > 2
+            to_center = to_center[ok] / norm[ok]
+            f = flows[yy, xx][ok]
+            inward = (f * to_center).sum(axis=-1)
+            inward_frac_total += (inward > 0).mean()
+        assert inward_frac_total / lbl.max() > 0.85
+
+    def test_perfect_flow_reconstruction(self, rng):
+        """Ground-truth flows must reconstruct the ground-truth masks."""
+        img, lbl = synthesize_cells(rng, (96, 96), n_cells=6)
+        flows, fg = masks_to_flows(jnp.asarray(lbl), 64)
+        net_out = jnp.concatenate(
+            [5.0 * flows, jnp.where(fg, 10.0, -10.0)[..., None]], axis=-1
+        )
+        masks = np.asarray(
+            compute_masks(net_out, flow_threshold=0.0, niter=100, max_cells=64)
+        )
+        assert masks.max() == lbl.max()
+        inter = ((masks > 0) & (lbl > 0)).sum()
+        union = ((masks > 0) | (lbl > 0)).sum()
+        assert inter / union > 0.99
+
+    def test_flow_error_low_for_true_masks(self, rng):
+        img, lbl = synthesize_cells(rng, (96, 96), n_cells=5)
+        flows, _ = masks_to_flows(jnp.asarray(lbl), 32)
+        errors = np.asarray(flow_error(jnp.asarray(lbl), flows, 32))
+        n = lbl.max()
+        assert np.all(errors[:n] < 0.1)
+
+    def test_flow_error_high_for_random_flows(self, rng):
+        img, lbl = synthesize_cells(rng, (96, 96), n_cells=5)
+        bad_flows = jnp.asarray(rng.normal(0, 1, (96, 96, 2)).astype(np.float32))
+        errors = np.asarray(flow_error(jnp.asarray(lbl), bad_flows, 32))
+        n = lbl.max()
+        assert np.median(errors[:n]) > 0.4
+
+    def test_follow_flows_converges_to_center(self):
+        # constant inward flow on a square cell
+        h = w = 32
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        fy = np.clip(15.5 - yy, -1, 1)
+        fx = np.clip(15.5 - xx, -1, 1)
+        flows = jnp.asarray(np.stack([fy, fx], axis=-1))
+        active = jnp.ones((h, w), bool)
+        final = np.asarray(follow_flows(flows, active, niter=60))
+        np.testing.assert_allclose(final[..., 0], 15.5, atol=0.6)
+        np.testing.assert_allclose(final[..., 1], 15.5, atol=0.6)
+
+
+class TestSegmentationModelAPI:
+    def test_parameter_defaults(self):
+        model = SegmentationModel()
+        p = model._resolve_and_validate_parameters(None, None, None, None, None)
+        assert p["diameter"] == 30
+        assert p["flow_threshold"] == 0.4
+        assert p["cellprob_threshold"] == 0
+        assert p["niter"] is None
+        assert p["batch_size"] == 8
+
+    def test_parameter_overrides(self):
+        model = SegmentationModel()
+        p = model._resolve_and_validate_parameters(50, 0.6, -2, 400, 16)
+        assert p == {
+            "diameter": 50,
+            "flow_threshold": 0.6,
+            "cellprob_threshold": -2,
+            "niter": 400,
+            "batch_size": 16,
+        }
+
+    def test_invalid_diameter(self):
+        with pytest.raises(ValueError, match="must be positive"):
+            SegmentationModel()._resolve_and_validate_parameters(-5, None, None, None, None)
+
+    def test_invalid_flow_threshold(self):
+        with pytest.raises(ValueError, match="non-negative"):
+            SegmentationModel()._resolve_and_validate_parameters(None, -0.1, None, None, None)
+
+    def test_invalid_cellprob_threshold(self):
+        with pytest.raises(ValueError, match="between -10 and 10"):
+            SegmentationModel()._resolve_and_validate_parameters(None, None, 50, None, None)
+
+    def test_lazy_network_cached(self):
+        model = SegmentationModel(seed=3)
+        with patch(
+            "arcadia_microscopy_tools_tpu.models.segmentation.init_unet",
+            wraps=__import__(
+                "arcadia_microscopy_tools_tpu.models.unet", fromlist=["init_unet"]
+            ).init_unet,
+        ) as spy:
+            _ = model.network
+            _ = model.network
+            assert spy.call_count == 1
+
+    def test_device_autoselect_cpu(self):
+        model = SegmentationModel()
+        assert model.device is not None
+        assert model.device.platform == "cpu"  # tests force the CPU backend
+
+    def test_segment_runs_end_to_end(self, rng):
+        """Seeded (untrained) weights: the full program must run and return a
+        valid label image, even if it finds nothing meaningful."""
+        model = SegmentationModel(seed=0, max_cells=64)
+        img = (rng.random((48, 48)) * 1000).astype(np.float64)
+        mask = model.segment(img, num_iterations=10)
+        assert mask.shape == (48, 48)
+        assert mask.dtype == np.int64
+        assert mask.min() >= 0
+
+    def test_segment_multichannel_input(self, rng):
+        model = SegmentationModel(seed=0, max_cells=64)
+        img = (rng.random((2, 48, 48)) * 1000).astype(np.float64)
+        mask = model.segment(img, num_iterations=10)
+        assert mask.shape == (48, 48)
+
+    def test_batch_segment_failure_isolation(self, rng):
+        model = SegmentationModel(seed=0, max_cells=64)
+        good = (rng.random((48, 48)) * 1000).astype(np.float64)
+        bad = np.zeros((4, 4, 4, 4))  # wrong rank -> per-image failure
+        with pytest.warns(SegmentationWarning, match="image 1"):
+            out = model.batch_segment([good, bad, good], num_iterations=10, show_progress=False)
+        assert out[0] is not None
+        assert out[1] is None
+        assert out[2] is not None
+        assert len(out) == 3
+
+    def test_batch_segment_param_validation_once(self, rng):
+        model = SegmentationModel(seed=0)
+        with pytest.raises(ValueError, match="must be positive"):
+            model.batch_segment([np.zeros((8, 8))], cell_diameter_px=-1, show_progress=False)

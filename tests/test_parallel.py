@@ -1,0 +1,205 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU mesh: halo exchange and
+sharded reductions must equal their single-chip counterparts exactly, and the
+plate runner must shard, isolate failures, and resume from checkpoints."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec
+
+import reference_impl as ref
+from arcadia_microscopy_tools_tpu.core.microplate import MicroplateLayout, Well
+from arcadia_microscopy_tools_tpu.exceptions import SegmentationWarning
+from arcadia_microscopy_tools_tpu.parallel import (
+    MeshConfig,
+    PlateRunConfig,
+    PlateRunner,
+    create_mesh,
+    halo_exchange,
+    sharded_gaussian_filter,
+    sharded_otsu_threshold,
+)
+from arcadia_microscopy_tools_tpu.parallel.mesh import SPACE_AXIS, WELL_AXIS
+
+
+def synth_well(rng, n_channels=2, size=128, n_cells=8):
+    yy, xx = np.mgrid[0:size, 0:size]
+    img = rng.normal(150, 15, (n_channels, size, size)).clip(0, None)
+    centers: list[tuple[int, int]] = []
+    while len(centers) < n_cells:
+        cy, cx = rng.integers(16, size - 16, 2)
+        # keep blobs separated so the expected cell count is deterministic
+        if all((cy - oy) ** 2 + (cx - ox) ** 2 > 24**2 for oy, ox in centers):
+            centers.append((int(cy), int(cx)))
+    for cy, cx in centers:
+        blob = 2500 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 30.0)
+        img[0] += blob
+        img[1] += blob * rng.uniform(0.2, 1.0)
+    return img.astype(np.uint16)
+
+
+class TestMesh:
+    def test_create_mesh_all_devices(self):
+        mesh = create_mesh()
+        assert mesh.shape[WELL_AXIS] == 8
+        assert mesh.shape[SPACE_AXIS] == 1
+
+    def test_space_parallelism(self):
+        mesh = create_mesh(MeshConfig(space_parallelism=4))
+        assert mesh.shape[WELL_AXIS] == 2
+        assert mesh.shape[SPACE_AXIS] == 4
+
+    def test_bad_space_parallelism(self):
+        with pytest.raises(ValueError, match="must divide"):
+            create_mesh(MeshConfig(space_parallelism=3))
+
+
+class TestCollectives:
+    def test_halo_exchange_matches_edge_padding(self, rng):
+        from jax.experimental.shard_map import shard_map
+
+        mesh = create_mesh(MeshConfig(space_parallelism=8))
+        x = jnp.asarray(rng.random((64, 32)).astype(np.float32))
+
+        fn = shard_map(
+            lambda xl: halo_exchange(xl, 2, SPACE_AXIS),
+            mesh=mesh,
+            in_specs=(PartitionSpec(SPACE_AXIS, None),),
+            out_specs=PartitionSpec(SPACE_AXIS, None),
+        )
+        out = np.asarray(jax.jit(fn)(x))
+        # each 8-row shard becomes 12 rows: verify the middle shard's halos
+        shard = out[12 * 3 : 12 * 4]
+        np.testing.assert_allclose(shard[2:-2], np.asarray(x)[24:32])
+        np.testing.assert_allclose(shard[:2], np.asarray(x)[22:24])  # true neighbor rows
+        np.testing.assert_allclose(shard[-2:], np.asarray(x)[32:34])
+        # first shard top halo = replicated edge
+        np.testing.assert_allclose(out[0], np.asarray(x)[0])
+
+    def test_sharded_otsu_equals_global(self, rng):
+        from jax.experimental.shard_map import shard_map
+
+        from arcadia_microscopy_tools_tpu.ops.threshold import threshold_otsu
+
+        mesh = create_mesh(MeshConfig(space_parallelism=8))
+        img = (rng.random((64, 64)) * 3000).astype(np.uint16)
+        img[20:40] += 20000
+
+        fn = shard_map(
+            lambda xl: sharded_otsu_threshold(xl, SPACE_AXIS),
+            mesh=mesh,
+            in_specs=(PartitionSpec(SPACE_AXIS, None),),
+            out_specs=PartitionSpec(),
+        )
+        sharded = float(jax.jit(fn)(jnp.asarray(img)))
+        single = float(threshold_otsu(img))
+        assert sharded == single == ref.threshold_otsu(img)
+
+    def test_sharded_gaussian_equals_single_chip(self, rng):
+        from jax.experimental.shard_map import shard_map
+
+        from arcadia_microscopy_tools_tpu.ops.filters import gaussian_filter
+
+        mesh = create_mesh(MeshConfig(space_parallelism=8))
+        img = rng.random((64, 48)).astype(np.float32)
+
+        fn = shard_map(
+            lambda xl: sharded_gaussian_filter(xl, 2.0, SPACE_AXIS),
+            mesh=mesh,
+            in_specs=(PartitionSpec(SPACE_AXIS, None),),
+            out_specs=PartitionSpec(SPACE_AXIS, None),
+        )
+        sharded = np.asarray(jax.jit(fn)(jnp.asarray(img)))
+        single = np.asarray(gaussian_filter(jnp.asarray(img), 2.0))
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+class TestPlateRunner:
+    def _layout(self, n=8):
+        ids = [f"{chr(65 + i // 12)}{(i % 12) + 1:02d}" for i in range(n)]
+        return MicroplateLayout([Well(id=i) for i in ids])
+
+    def test_classical_plate_run(self, rng):
+        layout = self._layout(8)
+        wells = {w: synth_well(rng) for w in layout.well_ids}
+        runner = PlateRunner(PlateRunConfig(max_cells=64, min_size=20))
+        results = runner.run(layout, wells)
+        assert not results.failed_wells
+        df = results.to_dataframe()
+        assert len(df) > 0
+        assert {"well_id", "area", "circularity", "intensity_mean_ch0"} <= set(df.columns)
+        # every well found its ~8 blobs
+        summary = results.summary()
+        assert (summary["num_cells"] >= 5).all()
+
+    def test_matches_single_image_path(self, rng):
+        """Plate measurements equal the SegmentationMask path for one well."""
+        from arcadia_microscopy_tools_tpu.masks import SegmentationMask
+        from arcadia_microscopy_tools_tpu.operations import (
+            apply_threshold,
+            rescale_by_percentile,
+            subtract_background_dog,
+        )
+
+        layout = self._layout(8)
+        wells = {w: synth_well(rng) for w in layout.well_ids}
+        runner = PlateRunner(PlateRunConfig(max_cells=64, min_size=20))
+        results = runner.run(layout, wells)
+
+        wid = layout.well_ids[0]
+        img = wells[wid][0]
+        x = subtract_background_dog(img, 1.0, 16.0)
+        x = rescale_by_percentile(x, (0.5, 99.9))
+        q = (np.asarray(x) * 65535).astype(np.uint16)
+        mask = np.asarray(apply_threshold(q, "otsu"))
+        sm = SegmentationMask(
+            mask_image=mask, remove_edge_cells=False, property_names=["label", "area", "centroid"]
+        )
+        sm_filtered_areas = sorted(a for a in sm.cell_properties["area"] if a >= 20)
+        plate_areas = sorted(results.tables[wid]["area"])
+        np.testing.assert_allclose(plate_areas, sm_filtered_areas)
+
+    def test_failure_isolation(self, rng):
+        layout = self._layout(4)
+        wells = {w: synth_well(rng) for w in layout.well_ids}
+        bad = layout.well_ids[1]
+
+        def source(well_id):
+            if well_id == bad:
+                raise IOError("corrupt file")
+            return wells[well_id]
+
+        runner = PlateRunner(PlateRunConfig(max_cells=64))
+        with pytest.warns(SegmentationWarning, match="corrupt file"):
+            results = runner.run(layout, source)
+        assert results.failed_wells == [bad]
+        assert all(results.tables[w] is not None for w in layout.well_ids if w != bad)
+
+    def test_checkpoint_resume(self, rng, tmp_path):
+        layout = self._layout(4)
+        wells = {w: synth_well(rng) for w in layout.well_ids}
+        runner = PlateRunner(PlateRunConfig(max_cells=64), checkpoint_dir=tmp_path)
+        results1 = runner.run(layout, wells)
+        assert (tmp_path / "manifest.json").exists()
+
+        # resume: a source that explodes proves wells come from the checkpoint
+        def explode(well_id):
+            raise AssertionError("should not be called on resume")
+
+        runner2 = PlateRunner(PlateRunConfig(max_cells=64), checkpoint_dir=tmp_path)
+        results2 = runner2.run(layout, explode)
+        for w in layout.well_ids:
+            pd1 = results1.tables[w].reset_index(drop=True)
+            pd2 = results2.tables[w].reset_index(drop=True)
+            np.testing.assert_allclose(pd1["area"], pd2["area"])
+
+    def test_partial_batch_padding(self, rng):
+        # 5 wells with an 8-wide mesh: final batch is padded internally
+        layout = self._layout(5)
+        wells = {w: synth_well(rng) for w in layout.well_ids}
+        runner = PlateRunner(PlateRunConfig(max_cells=64))
+        results = runner.run(layout, wells)
+        assert set(results.tables) == set(layout.well_ids)
+        assert not results.failed_wells
