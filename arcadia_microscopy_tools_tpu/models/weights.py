@@ -23,13 +23,24 @@ def save_checkpoint(path: str | Path, params: Any) -> None:
     checkpointer.wait_until_finished()
 
 
-def load_checkpoint(path: str | Path) -> Any:
-    """Restore a parameter pytree from an orbax checkpoint directory."""
+def load_checkpoint(path: str | Path, target: Any = None) -> Any:
+    """Restore a parameter pytree from an orbax checkpoint directory.
+
+    Restores against an abstract target tree so checkpoints written on one
+    backend (e.g. the TPU) load on any other (CPU test meshes): without it,
+    orbax tries to resurrect the exact device sharding it was saved with.
+    """
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
+    if target is None:
+        target = seeded_params()
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding), target
+    )
     checkpointer = ocp.StandardCheckpointer()
-    return checkpointer.restore(path)
+    return checkpointer.restore(path, abstract)
 
 
 def seeded_params(seed: int = 0):
