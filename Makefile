@@ -1,4 +1,8 @@
-.PHONY: test test-fast lint bench train dryrun
+.PHONY: test test-fast lint bench train dryrun native
+
+native:
+	mkdir -p arcadia_microscopy_tools_tpu/_native
+	g++ -O3 -shared -fPIC -o arcadia_microscopy_tools_tpu/_native/libamt_host.so native/amt_host.cpp
 
 test:
 	python -m pytest tests/ -q

@@ -160,6 +160,17 @@ def extract_outlines(
     lbl = np.asarray(label_image)
     n = int(lbl.max())
     h, w = lbl.shape
+
+    if method == "cellpose":
+        # native boundary tracer when built (C++ Moore walk, one pass)
+        from . import _native
+
+        native = _native.trace_outlines(lbl)
+        if native is not None:
+            return [
+                o if len(o) > 0 else np.array([]).reshape(0, 2) for o in native
+            ]
+
     outlines: list[Float64Array] = []
     # per-cell bbox crops keep memory O(cell area), not O(N*H*W)
     ys, xs = np.nonzero(lbl)
@@ -194,9 +205,16 @@ def extract_outlines(
 
 def convex_areas(label_image: Int64Array) -> np.ndarray:
     """Per-cell convex hull areas (pixel counts inside the rasterized hull),
-    ordered by label. skimage's `area_convex` counts the pixels of the
-    convex image; OpenCV's hull rasterization matches within the boundary
-    pixel tolerance documented in tests."""
+    ordered by label. Uses the native C++ kernel (exact scanline lattice
+    count over the monotone-chain hull) when built, falling back to OpenCV's
+    hull rasterization; both match skimage's convex_image count within the
+    boundary-pixel tolerance documented in tests."""
+    from . import _native
+
+    native = _native.convex_areas(np.asarray(label_image))
+    if native is not None:
+        return native
+
     import cv2
 
     lbl = np.asarray(label_image)
