@@ -35,24 +35,7 @@ import jax.numpy as jnp
 __all__ = ["measure_labels", "measure_intensity", "PROPERTY_DTYPES"]
 
 
-def _segment_sum(values: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
-    return jax.ops.segment_sum(values, segment_ids, num_segments=num_segments)
-
-
-def _segment_min(values, segment_ids, num_segments, big):
-    return (
-        jnp.full((num_segments,), big, dtype=values.dtype)
-        .at[segment_ids]
-        .min(values)
-    )
-
-
-def _segment_max(values, segment_ids, num_segments, small):
-    return (
-        jnp.full((num_segments,), small, dtype=values.dtype)
-        .at[segment_ids]
-        .max(values)
-    )
+from .segment_reduce import segment_minmax_blockwise, segment_sums_matmul
 
 
 def _same_label_neighbor(lbl: jax.Array, dy: int, dx: int) -> jax.Array:
@@ -105,12 +88,24 @@ def _perimeter_contribution(lbl: jax.Array) -> jax.Array:
 
     category = jnp.where(border, 1 + 2 * n4 + 10 * nd, 0)
 
+    # arithmetic select instead of a LUT gather (gathers are the expensive
+    # primitive on TPU; equality compares fuse into one VPU pass)
     sqrt2 = math.sqrt(2.0)
-    weights = jnp.zeros((50,), dtype=jnp.float32)
-    weights = weights.at[jnp.array([5, 7, 15, 17, 25, 27])].set(1.0)
-    weights = weights.at[jnp.array([21, 33])].set(sqrt2)
-    weights = weights.at[jnp.array([13, 23])].set((1.0 + sqrt2) / 2.0)
-    return weights[jnp.clip(category, 0, 49)]
+
+    def is_any(c, values):
+        out = jnp.zeros(c.shape, bool)
+        for v in values:
+            out = out | (c == v)
+        return out
+
+    w_one = is_any(category, (5, 7, 15, 17, 25, 27))
+    w_diag = is_any(category, (21, 33))
+    w_mixed = is_any(category, (13, 23))
+    return (
+        w_one.astype(jnp.float32)
+        + w_diag.astype(jnp.float32) * sqrt2
+        + w_mixed.astype(jnp.float32) * ((1.0 + sqrt2) / 2.0)
+    )
 
 
 PROPERTY_DTYPES = {
@@ -151,26 +146,30 @@ def measure_labels(label_image: jax.Array, max_cells: int) -> dict[str, jax.Arra
     nseg = max_cells + 1  # slot 0 = background
     seg = jnp.clip(lbl.ravel(), 0, max_cells)
 
-    ones = jnp.ones_like(seg, dtype=jnp.float32)
+    ones = jnp.ones((h * w,), dtype=jnp.float32)
     yy, xx = jnp.mgrid[0:h, 0:w]
     yf = yy.ravel().astype(jnp.float32)
     xf = xx.ravel().astype(jnp.float32)
+    perim_w = _perimeter_contribution(lbl).ravel()
 
-    area = _segment_sum(ones, seg, nseg)
-    sum_y = _segment_sum(yf, seg, nseg)
-    sum_x = _segment_sum(xf, seg, nseg)
-    sum_yy = _segment_sum(yf * yf, seg, nseg)
-    sum_xx = _segment_sum(xf * xf, seg, nseg)
-    sum_xy = _segment_sum(yf * xf, seg, nseg)
-
+    # pass 1: zeroth and first moments (MXU segment sums)
+    area, sum_y, sum_x = segment_sums_matmul(jnp.stack([ones, yf, xf]), seg, nseg)
     n = jnp.maximum(area, 1.0)
     cy = sum_y / n
     cx = sum_x / n
 
-    # central second moments (mu[p,q], p = row exponent) normalized by area
-    mu20 = sum_yy / n - cy * cy  # spread along rows
-    mu02 = sum_xx / n - cx * cx  # spread along cols
-    mu11 = sum_xy / n - cy * cx
+    # pass 2: second moments in CENTERED coordinates - centered values are
+    # O(cell radius), so the bf16 hi/lo split loses nothing even on 2048^2
+    # frames (raw y^2 sums would round at f32 granularity)
+    dy = yf - cy[seg]
+    dx = xf - cx[seg]
+    m = segment_sums_matmul(
+        jnp.stack([dy * dy, dx * dx, dy * dx, perim_w]), seg, nseg
+    )
+    mu20 = m[0] / n  # spread along rows
+    mu02 = m[1] / n  # spread along cols
+    mu11 = m[2] / n
+    perimeter = m[3]
 
     common = jnp.sqrt(jnp.maximum(4.0 * mu11 * mu11 + (mu20 - mu02) ** 2, 0.0))
     lam1 = (mu20 + mu02 + common) / 2.0  # largest eigenvalue
@@ -190,18 +189,12 @@ def measure_labels(label_image: jax.Array, max_cells: int) -> dict[str, jax.Arra
         0.5 * jnp.arctan2(-2.0 * b, c - a),
     )
 
-    # perimeter: segment-sum of per-border-pixel weights
-    perim_w = _perimeter_contribution(lbl).ravel()
-    perimeter = _segment_sum(perim_w, seg, nseg)
-
-    # bbox via segment min/max
-    yi = yy.ravel().astype(jnp.int32)
-    xi = xx.ravel().astype(jnp.int32)
-    big = jnp.int32(1 << 30)
-    minr = _segment_min(jnp.where(seg > 0, yi, big), seg, nseg, big)
-    minc = _segment_min(jnp.where(seg > 0, xi, big), seg, nseg, big)
-    maxr = _segment_max(jnp.where(seg > 0, yi, -1), seg, nseg, jnp.int32(-1)) + 1
-    maxc = _segment_max(jnp.where(seg > 0, xi, -1), seg, nseg, jnp.int32(-1)) + 1
+    # bbox via blockwise segment min/max
+    mins, maxs = segment_minmax_blockwise(jnp.stack([yf, xf]), seg, nseg)
+    minr = jnp.where(area > 0, mins[0], 0).astype(jnp.int32)
+    minc = jnp.where(area > 0, mins[1], 0).astype(jnp.int32)
+    maxr = jnp.where(area > 0, maxs[0] + 1, 0).astype(jnp.int32)
+    maxc = jnp.where(area > 0, maxs[1] + 1, 0).astype(jnp.int32)
 
     bbox_area = jnp.maximum((maxr - minr) * (maxc - minc), 1).astype(jnp.float32)
     extent = area / bbox_area
@@ -246,16 +239,20 @@ def measure_intensity(
     vals = img.ravel()
 
     ones = jnp.ones_like(vals)
-    count = _segment_sum(ones, seg, nseg)
-    s1 = _segment_sum(vals, seg, nseg)
-    s2 = _segment_sum(vals * vals, seg, nseg)
+    # uint16 intensities square up to ~2^32: scale down so the hi/lo bf16
+    # split keeps the matmul sums f32-exact, then scale back
+    scale = jnp.float32(1.0 / 256.0)
+    sums = segment_sums_matmul(
+        jnp.stack([ones, vals * scale, (vals * scale) ** 2]), seg, nseg
+    )
+    count, s1, s2 = sums[0], sums[1] / scale, sums[2] / (scale * scale)
     n = jnp.maximum(count, 1.0)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
 
-    big = jnp.float32(jnp.inf)
-    vmin = _segment_min(jnp.where(seg > 0, vals, big), seg, nseg, big)
-    vmax = _segment_max(jnp.where(seg > 0, vals, -big), seg, nseg, -big)
+    mins, maxs = segment_minmax_blockwise(vals[None], seg, nseg)
+    vmin = jnp.where(count > 0, mins[0], jnp.inf)
+    vmax = jnp.where(count > 0, maxs[0], -jnp.inf)
 
     def cell(xs):
         return xs[1:]

@@ -36,7 +36,7 @@ from ..core.channels import Channel
 from ..core.microplate import MicroplateLayout
 from ..exceptions import SegmentationWarning
 from ..ops.basic import rescale_by_percentile, subtract_background_dog
-from ..ops.labeling import clear_border, label, relabel_sequential
+from ..ops.labeling import clear_border, label
 from ..ops.morphology import binary_opening, disk
 from ..ops.regionprops import measure_intensity, measure_labels
 from ..ops.threshold import _GLOBAL_METHODS
@@ -178,12 +178,11 @@ def _build_well_program(config: PlateRunConfig, n_channels: int, unet_params=Non
 
         if config.remove_edge_cells:
             lbl = clear_border(lbl)
-        if config.min_size > 0 and config.method == "classical":
-            n = lbl.size
-            counts = jnp.zeros(n + 1, jnp.int32).at[jnp.clip(lbl.ravel(), 0, n)].add(1)
-            lbl = jnp.where(counts[jnp.clip(lbl, 0, n)] >= config.min_size, lbl, 0)
-        lbl = relabel_sequential(lbl)
 
+        # No device-side relabel/size-filter: measurement is label-gap
+        # tolerant (area==0 slots are masked invalid), and the min_size cut
+        # happens on host when tables are assembled - saves a full-image
+        # sort + scatter per well.
         props = measure_labels(lbl, max_cells=config.max_cells)
         intensity = {}
         for ci in measure_idx:
@@ -265,7 +264,8 @@ class PlateRunner:
         well_index: int,
     ) -> pd.DataFrame:
         valid = np.asarray(props["valid"][well_index])
-        n = int(valid.sum())
+        area_all = np.asarray(props["area"][well_index])
+        keep = valid & (area_all >= self.config.min_size)
         data: dict[str, np.ndarray] = {}
         order = [
             "label",
@@ -280,7 +280,9 @@ class PlateRunner:
             "extent",
         ]
         for name in order:
-            data[name] = np.asarray(props[name][well_index])[:n]
+            data[name] = np.asarray(props[name][well_index])[keep]
+        # consecutive label numbering after the host-side size cut
+        data["label"] = np.arange(1, int(keep.sum()) + 1, dtype=np.int64)
         area = data["area"]
         perim = data["perimeter"]
         data["circularity"] = np.where(perim > 0, 4 * np.pi * area / perim**2, 0.0)
@@ -290,7 +292,7 @@ class PlateRunner:
         for ci, stats in intensity.items():
             suffix = channels[ci].name.lower() if channels else f"ch{ci}"
             for stat_name, values in stats.items():
-                data[f"{stat_name}_{suffix}"] = np.asarray(values[well_index])[:n]
+                data[f"{stat_name}_{suffix}"] = np.asarray(values[well_index])[keep]
         return pd.DataFrame(data)
 
     def run(

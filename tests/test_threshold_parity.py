@@ -49,10 +49,13 @@ class TestGlobalThresholdsInteger:
     def test_minimum_close(self, img):
         # The minimum method smooths the histogram thousands of times; float32
         # device accumulation picks a slightly different bin in the (flat)
-        # valley than the float64 reference. Both are valid valley cuts.
-        assert float(th.threshold_minimum(img)) == pytest.approx(
-            ref.threshold_minimum(img), abs=15.0
-        )
+        # valley than the float64 reference. Both are valid valley cuts, so
+        # assert on the meaningful criterion: the resulting masks agree.
+        ours = float(th.threshold_minimum(img))
+        theirs = ref.threshold_minimum(img)
+        mask_ours = img > ours
+        mask_theirs = img > theirs
+        assert (mask_ours == mask_theirs).mean() > 0.99
 
     def test_li_close(self, img):
         assert float(th.threshold_li(img)) == pytest.approx(ref.threshold_li(img), rel=1e-3)
