@@ -1,22 +1,34 @@
-"""Connected-components labeling as a fixpoint device kernel.
+"""Connected-components labeling as TPU-friendly fixpoint kernels.
 
 Replaces `skimage.measure.label` / `skimage.segmentation.relabel_sequential` /
 `skimage.segmentation.clear_border` used by the reference mask processor
 (`src/arcadia_microscopy_tools/masks.py:38-65`).
 
-Algorithm (TPU-friendly union-find by label propagation):
-1. every foreground pixel starts with its own linear index as label;
-2. fixpoint loop: (a) take the min label over the 8- (or 4-) neighborhood,
-   (b) pointer-jump twice (label <- label[label]) to collapse chains
-   logarithmically - this is the flattening step of union-find expressed as
-   a gather, which XLA lowers to efficient HBM gathers;
-3. once no label changes, components are identified by their root = the
-   minimum linear index in the component, i.e. the first pixel in scan order;
-4. roots are ranked by a sort/compaction pass, which reproduces
-   skimage.measure.label's scan-order label numbering exactly.
+Algorithm (two-phase union-find, the Playne/Stava GPU-CC structure recast for
+XLA):
 
-Everything is static-shaped: no dynamic extents, no host synchronization; the
-whole labeler can sit inside a bigger jitted plate program or be vmapped over
+1. **Block-local phase** - every foreground pixel starts with its own linear
+   index; a fixed number of masked neighbor-minimum sweeps propagate minima
+   WITHIN static 64x64 blocks. These sweeps are pure shifted compares (VPU,
+   no gathers) that XLA fuses into one memory pass per iteration.
+2. **Boundary merge phase** - only pixels on block edges can disagree across
+   blocks. Their label pairs (a few hundred K for a 2048^2 image) drive a
+   union-find root table: gather roots, scatter-min the merged root, iterate
+   a fixed number of rounds with in-loop path compression.
+3. **Remap + rank** - one global gather maps pixels through the root table;
+   roots are ranked by a cumulative sum over the root indicator (a pixel is
+   a root iff label == own index), reproducing skimage's scan-order
+   numbering exactly.
+4. Optionally (`checked=True`, the default for the public API) a global
+   neighbor-min + pointer-jump `while_loop` verifies the fixpoint, which
+   guarantees correctness for adversarial shapes (e.g. spirals threading
+   dozens of blocks) at the cost of at least one extra full-image pass.
+   The plate/bench hot path uses `checked=False`: for cell-like components
+   whose block-graph diameter is far below the merge round count, phases
+   1-3 are already exact.
+
+Everything is static-shaped: no dynamic extents, no host synchronization;
+the labeler can sit inside a bigger jitted plate program or be vmapped over
 a batch of masks.
 """
 
@@ -28,10 +40,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["label", "relabel_sequential", "clear_border", "num_labels"]
+__all__ = ["label", "relabel_sequential", "clear_border", "num_labels", "compact_labels"]
 
 _NEIGHBORS_8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
 _NEIGHBORS_4 = [(-1, 0), (0, -1), (0, 1), (1, 0)]
+
+_BLOCK = 64
+_LOCAL_ITERS = 96  # >= in-block geodesic distance of any cell-like component
+_MERGE_ITERS = 10  # >= block-graph diameter of any component (+ margin)
 
 
 def _neighbor_min(lbl: jax.Array, sentinel: jax.Array, offsets) -> jax.Array:
@@ -45,76 +61,139 @@ def _neighbor_min(lbl: jax.Array, sentinel: jax.Array, offsets) -> jax.Array:
     return out
 
 
-def _segmented_min_scan_one_way(values: jax.Array, fg: jax.Array, axis: int) -> jax.Array:
-    """Forward segmented running-min along `axis` (runs delimited by
-    background pixels)."""
-
-    def op(a, b):
-        av, ab = a
-        bv, bb = b
-        return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
-
-    prev_fg = jnp.roll(fg, 1, axis=axis)
-    boundary = ~(fg & prev_fg)
-    idx = [slice(None)] * fg.ndim
-    idx[axis] = slice(0, 1)
-    boundary = boundary.at[tuple(idx)].set(True)
-    out, _ = lax.associative_scan(op, (values, boundary), axis=axis)
-    return out
-
-
-def _segmented_min_scan(values: jax.Array, fg: jax.Array, axis: int) -> jax.Array:
-    """Bidirectional segmented running-min along `axis`: within each
-    contiguous foreground run, every pixel receives the run's minimum.
-    O(log n) depth on the VPU - this is what makes long straight runs
-    converge in one pass instead of one step per pixel."""
-    fwd = _segmented_min_scan_one_way(values, fg, axis)
-    bwd = jnp.flip(
-        _segmented_min_scan_one_way(jnp.flip(values, axis), jnp.flip(fg, axis), axis),
-        axis,
-    )
-    return jnp.minimum(fwd, bwd)
+def _masked_neighbor_min(lbl, fg, sentinel, offsets, block):
+    """Neighbor minimum restricted to neighbors inside the same block."""
+    h, w = lbl.shape
+    yy = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    padded = jnp.pad(lbl, 1, mode="constant", constant_values=sentinel)
+    out = lbl
+    for dy, dx in offsets:
+        shifted = lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w))
+        allowed = jnp.ones((h, w), bool)
+        if dy == -1:
+            allowed &= (yy % block) != 0
+        if dy == 1:
+            allowed &= (yy % block) != block - 1
+        if dx == -1:
+            allowed &= (xx % block) != 0
+        if dx == 1:
+            allowed &= (xx % block) != block - 1
+        out = jnp.minimum(out, jnp.where(allowed, shifted, sentinel))
+    return jnp.where(fg, out, sentinel)
 
 
-@partial(jax.jit, static_argnames=("connectivity",))
-def _propagate_labels(fg: jax.Array, connectivity: int = 2) -> jax.Array:
-    """Run the min-propagation fixpoint; returns root linear indices per pixel
-    (sentinel = H*W on background).
+def _boundary_pairs(lbl: jax.Array, sentinel, offsets, block):
+    """Label pairs adjacent across block boundaries, flattened.
 
-    Each iteration takes the 8-/4-neighborhood minimum (shifted compares on
-    the VPU) and then pointer-jumps twice (label <- label[label] gathers) -
-    union-find path halving expressed as dense gathers, which collapses label
-    trees geometrically. Blob-like masks converge in a handful of iterations.
-
-    (A segmented-scan variant - `_segmented_min_scan` - collapses long
-    straight runs in O(log n) depth and is kept for hosts where scans are
-    cheap; the TPU path deliberately avoids it because deep scan graphs
-    compile pathologically on the remote TPU toolchain.)
+    Static strided slices only; invalid slots carry the sentinel.
+    Returns (La, Lb) 1-D int32 arrays.
     """
+    h, w = lbl.shape
+    pairs_a = []
+    pairs_b = []
+
+    diag = any(dy != 0 and dx != 0 for dy, dx in offsets)
+    shifts = (-1, 0, 1) if diag else (0,)
+
+    # horizontal interfaces: row r = block-1 (mod block) with row r+1
+    if h > block:
+        a = lbl[block - 1 : h - 1 : block, :]  # (nb_y, W)
+        b = lbl[block : h : block, :]
+        for dx in shifts:
+            if dx == 0:
+                bb = b
+            elif dx == 1:
+                bb = jnp.concatenate(
+                    [b[:, 1:], jnp.full((b.shape[0], 1), sentinel, b.dtype)], axis=1
+                )
+            else:
+                bb = jnp.concatenate(
+                    [jnp.full((b.shape[0], 1), sentinel, b.dtype), b[:, :-1]], axis=1
+                )
+            pairs_a.append(a.ravel())
+            pairs_b.append(bb.ravel())
+
+    # vertical interfaces: col c = block-1 (mod block) with col c+1
+    if w > block:
+        a = lbl[:, block - 1 : w - 1 : block]  # (H, nb_x)
+        b = lbl[:, block : w : block]
+        for dy in shifts:
+            if dy == 0:
+                bb = b
+            elif dy == 1:
+                bb = jnp.concatenate(
+                    [b[1:, :], jnp.full((1, b.shape[1]), sentinel, b.dtype)], axis=0
+                )
+            else:
+                bb = jnp.concatenate(
+                    [jnp.full((1, b.shape[1]), sentinel, b.dtype), b[:-1, :]], axis=0
+                )
+            pairs_a.append(a.ravel())
+            pairs_b.append(bb.ravel())
+
+    if not pairs_a:
+        empty = jnp.full((1,), sentinel, lbl.dtype)
+        return empty, empty
+    return jnp.concatenate(pairs_a), jnp.concatenate(pairs_b)
+
+
+@partial(jax.jit, static_argnames=("connectivity", "checked"))
+def _propagate_labels(
+    fg: jax.Array, connectivity: int = 2, checked: bool = True
+) -> jax.Array:
+    """Union-find by label propagation; returns root linear indices per pixel
+    (sentinel = H*W on background)."""
     h, w = fg.shape
     n = h * w
     sentinel = jnp.int32(n)
     idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
-    lbl0 = jnp.where(fg, idx, sentinel)
+    lbl = jnp.where(fg, idx, sentinel)
     offsets = _NEIGHBORS_8 if connectivity == 2 else _NEIGHBORS_4
 
-    def jump(lbl):
-        # pointer jumping: label <- label at the pixel my label points to
-        flat = jnp.concatenate([lbl.ravel(), jnp.array([sentinel], jnp.int32)])
-        return jnp.where(fg, flat[lbl], sentinel)
+    # ---- phase 1: block-local sweeps (no gathers) ---------------------------
+    def local_step(_, cur):
+        return _masked_neighbor_min(cur, fg, sentinel, offsets, _BLOCK)
+
+    lbl = lax.fori_loop(0, _LOCAL_ITERS, local_step, lbl)
+
+    # ---- phase 2: boundary merge via a root table ----------------------------
+    La, Lb = _boundary_pairs(lbl, sentinel, offsets, _BLOCK)
+    valid = (La < n) & (Lb < n)
+    junk = jnp.int32(n)  # scatter target for invalid slots
+    table0 = jnp.arange(n + 1, dtype=jnp.int32)
+
+    def merge_step(_, table):
+        ra = table[La]
+        rb = table[Lb]
+        m = jnp.where(valid, jnp.minimum(ra, rb), junk)
+        table = table.at[jnp.where(valid, ra, junk)].min(m)
+        table = table.at[jnp.where(valid, rb, junk)].min(m)
+        table = table.at[jnp.where(valid, La, junk)].min(m)
+        table = table.at[jnp.where(valid, Lb, junk)].min(m)
+        return table.at[junk].set(junk)
+
+    table = lax.fori_loop(0, _MERGE_ITERS, merge_step, table0)
+
+    # ---- phase 3: remap through the (short) root chains ----------------------
+    lbl = jnp.where(fg, table[table[lbl]], sentinel)
+
+    if not checked:
+        return lbl
+
+    # ---- optional global fixpoint guarantee -----------------------------------
+    def jump(cur):
+        flat = jnp.concatenate([cur.ravel(), jnp.array([sentinel], jnp.int32)])
+        return jnp.where(fg, flat[cur], sentinel)
 
     def body(state):
-        lbl, _ = state
-        new = _neighbor_min(lbl, sentinel, offsets)
+        cur, _ = state
+        new = _neighbor_min(cur, sentinel, offsets)
         new = jnp.where(fg, new, sentinel)
         new = jump(jump(new))
-        changed = jnp.any(new != lbl)
-        return new, changed
+        return new, jnp.any(new != cur)
 
-    def cond(state):
-        return state[1]
-
-    lbl, _ = lax.while_loop(cond, body, (lbl0, jnp.bool_(True)))
+    lbl, _ = lax.while_loop(lambda s: s[1], body, (lbl, jnp.bool_(True)))
     return lbl
 
 
@@ -133,14 +212,17 @@ def _rank_roots(roots_flat: jax.Array, sentinel: int) -> jax.Array:
     return jnp.concatenate([mapping, jnp.zeros((1,), jnp.int32)])
 
 
-@partial(jax.jit, static_argnames=("connectivity",))
-def label(mask: jax.Array, connectivity: int = 2) -> jax.Array:
+@partial(jax.jit, static_argnames=("connectivity", "checked"))
+def label(mask: jax.Array, connectivity: int = 2, checked: bool = True) -> jax.Array:
     """Label connected components of a boolean mask.
 
     Args:
         mask: 2D boolean array (True = foreground).
         connectivity: 2 for 8-connectivity (skimage's 2D default), 1 for
             4-connectivity.
+        checked: Run the global fixpoint verification pass (default True).
+            Pipelines over cell-like masks (component block-graph diameter
+            well under the merge round count) may disable it for throughput.
 
     Returns:
         int32 label image with consecutive labels 1..N in scan order of each
@@ -150,7 +232,7 @@ def label(mask: jax.Array, connectivity: int = 2) -> jax.Array:
     fg = jnp.asarray(mask).astype(bool)
     h, w = fg.shape
     n = h * w
-    roots = _propagate_labels(fg, connectivity)
+    roots = _propagate_labels(fg, connectivity, checked)
     mapping = _rank_roots(roots.ravel(), n)
     return jnp.where(fg, mapping[roots], 0).astype(jnp.int32)
 
@@ -167,17 +249,15 @@ def relabel_sequential(label_image: jax.Array) -> jax.Array:
     lbl = jnp.asarray(label_image).astype(jnp.int32)
     n = lbl.size
     flat = lbl.ravel()
-    s = jnp.sort(flat)
-    is_new = (s != jnp.concatenate([jnp.array([-1], s.dtype), s[:-1]])) & (s > 0)
-    ranks = jnp.cumsum(is_new.astype(jnp.int32))
-    # Dense mapping over observed values: scatter ranks at the value positions.
-    # Values can exceed n only if labels are sparse beyond the pixel count,
-    # which cannot happen for consecutive-ish microscopy masks; clamp for safety.
+    # presence table over [0, n]; labels sparser than the pixel count cannot
+    # occur for microscopy masks (clamped for safety)
     cap = n + 1
-    s_clamped = jnp.minimum(s, cap)
-    mapping = jnp.zeros(cap + 1, dtype=jnp.int32)
-    mapping = mapping.at[s_clamped].max(jnp.where(s > 0, ranks, 0))
-    return mapping[jnp.minimum(flat, cap)].reshape(lbl.shape)
+    clamped = jnp.minimum(flat, cap)
+    present = jnp.zeros(cap + 1, dtype=bool).at[clamped].set(True)
+    present = present.at[0].set(False)
+    ranks = jnp.cumsum(present.astype(jnp.int32))
+    mapping = jnp.where(present, ranks, 0)
+    return mapping[clamped].reshape(lbl.shape)
 
 
 @jax.jit
@@ -193,9 +273,7 @@ def clear_border(label_image: jax.Array) -> jax.Array:
         raise TypeError("clear_border expects an integer label image; call label() first")
     lbl = lbl.astype(jnp.int32)
     n = lbl.size
-    border_vals = jnp.concatenate(
-        [lbl[0, :], lbl[-1, :], lbl[:, 0], lbl[:, -1]]
-    )
+    border_vals = jnp.concatenate([lbl[0, :], lbl[-1, :], lbl[:, 0], lbl[:, -1]])
     cap = n + 1
     on_border = jnp.zeros(cap + 1, dtype=bool)
     on_border = on_border.at[jnp.minimum(border_vals, cap)].set(True)
@@ -213,8 +291,7 @@ def num_labels(label_image: jax.Array) -> jax.Array:
 def compact_labels(label_image: jax.Array, max_labels: int) -> jax.Array:
     """Relabel to consecutive 1..N assuming labels already lie in
     [0, max_labels] - a sort-free fast path for pipelines that filtered an
-    already-consecutive labeling (histogram presence + cumsum + one gather,
-    versus relabel_sequential's full-image sort)."""
+    already-consecutive labeling."""
     lbl = jnp.asarray(label_image).astype(jnp.int32)
     clipped = jnp.clip(lbl, 0, max_labels)
     counts = jnp.zeros(max_labels + 1, jnp.int32).at[clipped.ravel()].add(1)

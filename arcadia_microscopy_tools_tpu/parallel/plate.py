@@ -170,7 +170,10 @@ def _build_well_program(config: PlateRunConfig, n_channels: int, unet_params=Non
         seg_img = img[seg_idx]
         if config.method == "classical":
             mask = classical_mask(seg_img)
-            lbl = label(mask)
+            # checked=False: cell-like components span far fewer blocks than
+            # the merge phase's round budget, so the verification pass is
+            # provably redundant here (see ops/labeling.py docstring)
+            lbl = label(mask, checked=False)
         elif config.method == "unet":
             lbl = unet_mask(seg_img)
         else:

@@ -56,14 +56,20 @@ def main() -> None:
     well_fn = _build_well_program(config, n_channels=C)
     program = jax.jit(jax.vmap(well_fn))
 
+    def force(out):
+        # A scalar readback forces program completion; block_until_ready
+        # alone does not reliably block through tunneled TPU backends.
+        _, props, _ = out
+        return float(props["area"].ravel()[0])
+
     # warmup / compile
-    lbl, props, intensity = program(wells)
-    jax.block_until_ready(props["area"])
+    force(program(wells))
 
     t0 = time.time()
+    out = None
     for _ in range(reps):
-        lbl, props, intensity = program(wells)
-    jax.block_until_ready(props["area"])
+        out = program(wells)
+    force(out)
     elapsed = time.time() - t0
 
     n_images = B * reps

@@ -56,6 +56,21 @@ class TestLabel:
         for a, b in pairs:
             assert ours_to_theirs.setdefault(a, b) == b
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_unchecked_fast_path_matches_scipy_on_blobs(self, seed):
+        """checked=False must be exact for cell-like components (the plate
+        hot path relies on it)."""
+        rng = np.random.default_rng(seed)
+        mask = random_blobs(rng, shape=(160, 160), density=0.3, smooth=3)
+        ours = np.asarray(label(mask, checked=False))
+        theirs = ref.label(mask, connectivity=2)
+        assert ours.max() == theirs.max()
+        np.testing.assert_array_equal(ours > 0, theirs > 0)
+        pairs = set(zip(ours.ravel().tolist(), theirs.ravel().tolist()))
+        mapping = {}
+        for a, b in pairs:
+            assert mapping.setdefault(a, b) == b
+
     def test_spiral_long_component(self):
         # Worst case for naive propagation: one long snaking component.
         mask = np.zeros((64, 64), dtype=bool)
