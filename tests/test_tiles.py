@@ -1,0 +1,83 @@
+"""TileSource / stitch tests."""
+
+import numpy as np
+
+from arcadia_microscopy_tools_tpu.io.tiles import (
+    TileSource,
+    TileSpec,
+    stitch_labels,
+    tile_image,
+)
+
+
+class TestTileImage:
+    def test_exact_tiling(self, rng):
+        img = (rng.random((2, 128, 128)) * 100).astype(np.uint16)
+        spec = TileSpec(tile=64, halo=0, batch=4)
+        tiles, origins = tile_image(img, spec)
+        assert tiles.shape == (4, 2, 64, 64)
+        assert origins == [(0, 0), (0, 64), (64, 0), (64, 64)]
+        np.testing.assert_array_equal(tiles[0], img[:, :64, :64])
+        np.testing.assert_array_equal(tiles[3], img[:, 64:, 64:])
+
+    def test_halo_overlap(self, rng):
+        img = (rng.random((1, 64, 64)) * 100).astype(np.uint16)
+        spec = TileSpec(tile=32, halo=8, batch=4)
+        tiles, origins = tile_image(img, spec)
+        assert tiles.shape[-2:] == (48, 48)
+        # interior halo carries true neighbor data
+        np.testing.assert_array_equal(tiles[0][:, 8:40, 8:40], img[:, :32, :32])
+        np.testing.assert_array_equal(tiles[1][:, 8:40, :8], img[:, :32, 24:32])
+
+    def test_2d_input_promoted(self, rng):
+        img = (rng.random((64, 64)) * 100).astype(np.uint16)
+        tiles, _ = tile_image(img, TileSpec(tile=64))
+        assert tiles.shape == (1, 1, 64, 64)
+
+
+class TestStitch:
+    def test_roundtrip_labels_unique(self, rng):
+        spec = TileSpec(tile=32, halo=0)
+        full_shape = (64, 64)
+        # two tiles each containing one object labeled 1
+        tiles = np.zeros((4, 32, 32), dtype=np.int64)
+        tiles[0, 5:10, 5:10] = 1
+        tiles[3, 2:6, 2:6] = 1
+        origins = [(0, 0), (0, 32), (32, 0), (32, 32)]
+        full = stitch_labels(tiles, origins, full_shape, spec)
+        assert full.max() == 2  # globally unique labels
+        assert (full[5:10, 5:10] > 0).all()
+        assert (full[34:38, 34:38] > 0).all()
+
+    def test_halo_cropped(self):
+        spec = TileSpec(tile=32, halo=4)
+        tiles = np.zeros((1, 40, 40), dtype=np.int64)
+        tiles[0, 4:36, 4:36] = 1
+        full = stitch_labels(tiles, [(0, 0)], (32, 32), spec)
+        assert full.shape == (32, 32)
+        assert (full == 1).all()
+
+
+class TestTileSource:
+    def test_batches_fixed_shape(self, rng):
+        spec = TileSpec(tile=64, halo=0, batch=3)
+        src = TileSource(spec)
+        items = [(f"w{i}", (rng.random((1, 64, 64)) * 10).astype(np.uint16)) for i in range(5)]
+        batches = list(src.batches(iter(items)))
+        assert len(batches) == 2
+        keys0, arr0 = batches[0]
+        assert arr0.shape == (3, 1, 64, 64)
+        assert len(keys0) == 3
+        keys1, arr1 = batches[1]
+        assert arr1.shape == (3, 1, 64, 64)  # padded
+        assert len(keys1) == 2  # only real keys reported
+
+    def test_large_image_split(self, rng):
+        spec = TileSpec(tile=64, halo=0, batch=4)
+        src = TileSource(spec)
+        img = (rng.random((1, 128, 128)) * 10).astype(np.uint16)
+        batches = list(src.batches(iter([("well", img)])))
+        assert len(batches) == 1
+        keys, arr = batches[0]
+        assert arr.shape == (4, 1, 64, 64)
+        assert [k[1] for k in keys] == [(0, 0), (0, 64), (64, 0), (64, 64)]
