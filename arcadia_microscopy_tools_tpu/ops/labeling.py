@@ -45,9 +45,13 @@ __all__ = ["label", "relabel_sequential", "clear_border", "num_labels", "compact
 _NEIGHBORS_8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
 _NEIGHBORS_4 = [(-1, 0), (0, -1), (0, 1), (1, 0)]
 
-_BLOCK = 64
-_LOCAL_ITERS = 96  # >= in-block geodesic distance of any cell-like component
-_MERGE_ITERS = 10  # >= block-graph diameter of any component (+ margin)
+_BLOCK = 32
+# Cap on local sweeps. The early-exit check makes typical cost ~the actual
+# in-block geodesic (a few dozen sweeps for cells); the generous cap only
+# matters for pathological in-block snakes.
+_LOCAL_ITERS = 128
+_MERGE_ITERS = 12  # >= block-graph diameter of any component (+ margin)
+_LOCAL_CHECK_EVERY = 8  # convergence-check cadence inside the local phase
 
 
 def _neighbor_min(lbl: jax.Array, sentinel: jax.Array, offsets) -> jax.Array:
@@ -152,10 +156,22 @@ def _propagate_labels(
     offsets = _NEIGHBORS_8 if connectivity == 2 else _NEIGHBORS_4
 
     # ---- phase 1: block-local sweeps (no gathers) ---------------------------
-    def local_step(_, cur):
-        return _masked_neighbor_min(cur, fg, sentinel, offsets, _BLOCK)
+    # while_loop in chunks of _LOCAL_CHECK_EVERY sweeps with an early-exit
+    # convergence check: typical cells converge well before the cap.
+    def local_chunk(state):
+        cur, it, _ = state
+        new = cur
+        for _ in range(_LOCAL_CHECK_EVERY):
+            new = _masked_neighbor_min(new, fg, sentinel, offsets, _BLOCK)
+        return new, it + _LOCAL_CHECK_EVERY, jnp.any(new != cur)
 
-    lbl = lax.fori_loop(0, _LOCAL_ITERS, local_step, lbl)
+    def local_cond(state):
+        _, it, changed = state
+        return changed & (it < _LOCAL_ITERS)
+
+    lbl, _, _ = lax.while_loop(
+        local_cond, local_chunk, (lbl, jnp.int32(0), jnp.bool_(True))
+    )
 
     # ---- phase 2: boundary merge via a root table ----------------------------
     La, Lb = _boundary_pairs(lbl, sentinel, offsets, _BLOCK)

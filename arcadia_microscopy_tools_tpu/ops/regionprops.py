@@ -35,7 +35,11 @@ import jax.numpy as jnp
 __all__ = ["measure_labels", "measure_intensity", "PROPERTY_DTYPES"]
 
 
-from .segment_reduce import segment_minmax_blockwise, segment_sums_matmul
+from .segment_reduce import (
+    segment_central_moments,
+    segment_minmax_blockwise,
+    segment_sums_matmul,
+)
 
 
 def _same_label_neighbor(lbl: jax.Array, dy: int, dx: int) -> jax.Array:
@@ -160,16 +164,16 @@ def measure_labels(label_image: jax.Array, max_cells: int) -> dict[str, jax.Arra
 
     # pass 2: second moments in CENTERED coordinates - centered values are
     # O(cell radius), so the bf16 hi/lo split loses nothing even on 2048^2
-    # frames (raw y^2 sums would round at f32 granularity)
-    dy = yf - cy[seg]
-    dx = xf - cx[seg]
-    m = segment_sums_matmul(
-        jnp.stack([dy * dy, dx * dx, dy * dx, perim_w]), seg, nseg
+    # frames (raw y^2 sums would round at f32 granularity). The centroid
+    # lookup happens inside the matmul scan (onehot @ centroids) instead of
+    # a 4M-element gather.
+    s_yy, s_xx, s_xy, extras = segment_central_moments(
+        yf, xf, perim_w[None], seg, cy, cx, nseg
     )
-    mu20 = m[0] / n  # spread along rows
-    mu02 = m[1] / n  # spread along cols
-    mu11 = m[2] / n
-    perimeter = m[3]
+    mu20 = s_yy / n  # spread along rows
+    mu02 = s_xx / n  # spread along cols
+    mu11 = s_xy / n
+    perimeter = extras[0]
 
     common = jnp.sqrt(jnp.maximum(4.0 * mu11 * mu11 + (mu20 - mu02) ** 2, 0.0))
     lam1 = (mu20 + mu02 + common) / 2.0  # largest eigenvalue

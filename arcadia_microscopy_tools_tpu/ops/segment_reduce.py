@@ -110,6 +110,10 @@ def segment_minmax_blockwise(
 ) -> tuple[jax.Array | None, jax.Array | None]:
     """Segment min/max of each quantity via blockwise one-hot masking.
 
+    One scan per quantity: XLA fuses the (B, S) masked reduce for a single
+    quantity into a streaming pass, but materializes the (Q, B, S) tensor if
+    quantities share one scan (10x slower, measured).
+
     Returns ((Q, S) mins, (Q, S) maxes); empty segments yield +inf / -inf.
     """
     q, n = values.shape
@@ -121,25 +125,119 @@ def segment_minmax_blockwise(
     n_pad = n + pad
     k = n_pad // block
 
-    vals = values.reshape(q, k, block).transpose(1, 0, 2)  # (K, Q, B)
     seg = segment_ids.reshape(k, block)
     seg_iota = jax.lax.broadcasted_iota(jnp.int32, (block, num_segments), 1)
 
-    def body(carry, inp):
-        cmin, cmax = carry
-        v, labels = inp
-        mask = labels[:, None] == seg_iota  # (B, S)
-        if compute_min:
-            masked = jnp.where(mask[None], v[:, :, None], big)  # (Q, B, S)
-            cmin = jnp.minimum(cmin, jnp.min(masked, axis=1))
-        if compute_max:
-            masked = jnp.where(mask[None], v[:, :, None], -big)
-            cmax = jnp.maximum(cmax, jnp.max(masked, axis=1))
-        return (cmin, cmax), None
+    def one_quantity(vq):
+        vals = vq.reshape(k, block)
 
-    init = (
-        jnp.full((q, num_segments), big, jnp.float32),
-        jnp.full((q, num_segments), -big, jnp.float32),
+        def body(carry, inp):
+            cmin, cmax = carry
+            v, labels = inp
+            mask = labels[:, None] == seg_iota  # (B, S)
+            if compute_min:
+                cmin = jnp.minimum(cmin, jnp.min(jnp.where(mask, v[:, None], big), axis=0))
+            if compute_max:
+                cmax = jnp.maximum(cmax, jnp.max(jnp.where(mask, v[:, None], -big), axis=0))
+            return (cmin, cmax), None
+
+        init = (
+            jnp.full((num_segments,), big, jnp.float32),
+            jnp.full((num_segments,), -big, jnp.float32),
+        )
+        (cmin, cmax), _ = lax.scan(body, init, (vals, seg))
+        return cmin, cmax
+
+    mins = []
+    maxs = []
+    for i in range(q):
+        cmin, cmax = one_quantity(values[i])
+        mins.append(cmin)
+        maxs.append(cmax)
+    return (
+        jnp.stack(mins) if compute_min else None,
+        jnp.stack(maxs) if compute_max else None,
     )
-    (mins, maxs), _ = lax.scan(body, init, (vals, seg))
-    return (mins if compute_min else None, maxs if compute_max else None)
+
+
+def _split3_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Three-way bf16 split (~24 mantissa bits): x = a + b + c."""
+    a = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - a
+    b = r.astype(jnp.bfloat16).astype(jnp.float32)
+    c = (r - b).astype(jnp.bfloat16).astype(jnp.float32)
+    return a, b, c
+
+
+@partial(jax.jit, static_argnames=("num_segments", "block"))
+def segment_central_moments(
+    yf: jax.Array,  # (N,) row coordinates, float32
+    xf: jax.Array,  # (N,) col coordinates, float32
+    extra: jax.Array,  # (E, N) additional quantities to segment-sum
+    segment_ids: jax.Array,  # (N,) int32
+    cy: jax.Array,  # (S,) per-segment centroid rows
+    cx: jax.Array,  # (S,) per-segment centroid cols
+    num_segments: int,
+    block: int = 8192,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Segment sums of centered second moments (dy^2, dx^2, dy*dx) plus extra
+    quantities, with NO per-pixel gathers.
+
+    The per-pixel centroid lookup cy[seg] is reconstructed inside the scan as
+    onehot @ cy using a 3-way bf16 split of the centroid table (~24 mantissa
+    bits - float32-grade for coordinates up to 2^13), so the whole pass stays
+    on the MXU.
+    """
+    e, n = extra.shape
+    pad = (-n) % block
+    if pad:
+        yf = jnp.pad(yf, (0, pad))
+        xf = jnp.pad(xf, (0, pad))
+        extra = jnp.pad(extra, ((0, 0), (0, pad)))
+        segment_ids = jnp.pad(segment_ids, (0, pad))
+    k = (n + pad) // block
+
+    yb = yf.reshape(k, block)
+    xb = xf.reshape(k, block)
+    eb = extra.reshape(e, k, block).transpose(1, 0, 2)
+    seg = segment_ids.reshape(k, block)
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (block, num_segments), 1)
+
+    cy_parts = _split3_bf16(cy)
+    cx_parts = _split3_bf16(cx)
+
+    def body(carry, inp):
+        y, x, ex, labels = inp
+        onehot = (labels[:, None] == seg_iota).astype(jnp.bfloat16)  # (B, S)
+
+        def lookup(parts):
+            acc = jnp.zeros((block,), jnp.float32)
+            for p in parts:
+                acc = acc + jax.lax.dot_general(
+                    onehot,
+                    p.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return acc
+
+        dy = y - lookup(cy_parts)
+        dx = x - lookup(cx_parts)
+        quantities = jnp.concatenate(
+            [jnp.stack([dy * dy, dx * dx, dy * dx]), ex], axis=0
+        )  # (3+E, B)
+        hi = quantities.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = quantities - hi
+        qmat = jnp.concatenate([hi, lo], axis=0).astype(jnp.bfloat16)
+        sums = jax.lax.dot_general(
+            qmat,
+            onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2*(3+E), S)
+        return carry + sums, None
+
+    init = jnp.zeros((2 * (3 + e), num_segments), jnp.float32)
+    total, _ = lax.scan(body, init, (yb, xb, eb, seg))
+    total = total[: 3 + e] + total[3 + e :]
+    return total[0], total[1], total[2], total[3:]
