@@ -45,12 +45,12 @@ __all__ = ["label", "relabel_sequential", "clear_border", "num_labels", "compact
 _NEIGHBORS_8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
 _NEIGHBORS_4 = [(-1, 0), (0, -1), (0, 1), (1, 0)]
 
-_BLOCK = 32
+_BLOCK = 64
 # Cap on local sweeps. The early-exit check makes typical cost ~the actual
 # in-block geodesic (a few dozen sweeps for cells); the generous cap only
 # matters for pathological in-block snakes.
-_LOCAL_ITERS = 128
-_MERGE_ITERS = 12  # >= block-graph diameter of any component (+ margin)
+_LOCAL_ITERS = 192
+_MERGE_ITERS = 10  # >= union-chain depth of any component (+ margin)
 _LOCAL_CHECK_EVERY = 8  # convergence-check cadence inside the local phase
 
 
@@ -173,26 +173,49 @@ def _propagate_labels(
         local_cond, local_chunk, (lbl, jnp.int32(0), jnp.bool_(True))
     )
 
-    # ---- phase 2: boundary merge via a root table ----------------------------
+    # ---- phase 2: boundary merge on a COMPACTED key space ---------------------
+    # The only labels that can disagree across blocks are those on block
+    # boundaries. Compact them (sort + run ranks) so the union-find table is
+    # a few-hundred-K entries instead of H*W - scatters/gathers on a full
+    # (n+1) table cost ~0.5 s/image at 2048^2, the compact version ~tens of ms.
     La, Lb = _boundary_pairs(lbl, sentinel, offsets, _BLOCK)
     valid = (La < n) & (Lb < n)
-    junk = jnp.int32(n)  # scatter target for invalid slots
-    table0 = jnp.arange(n + 1, dtype=jnp.int32)
 
-    def merge_step(_, table):
-        ra = table[La]
-        rb = table[Lb]
-        m = jnp.where(valid, jnp.minimum(ra, rb), junk)
-        table = table.at[jnp.where(valid, ra, junk)].min(m)
-        table = table.at[jnp.where(valid, rb, junk)].min(m)
-        table = table.at[jnp.where(valid, La, junk)].min(m)
-        table = table.at[jnp.where(valid, Lb, junk)].min(m)
-        return table.at[junk].set(junk)
+    cat = jnp.concatenate([La, Lb])
+    s = jnp.sort(cat)
+    is_new = s != jnp.concatenate([jnp.full((1,), -1, s.dtype), s[:-1]])
+    uid_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # compact id per sorted slot
+    m_ids = cat.shape[0]  # static bound on distinct ids
 
-    table = lax.fori_loop(0, _MERGE_ITERS, merge_step, table0)
+    def uid_of(values):
+        pos = jnp.searchsorted(s, values)
+        return uid_sorted[jnp.clip(pos, 0, m_ids - 1)]
 
-    # ---- phase 3: remap through the (short) root chains ----------------------
-    lbl = jnp.where(fg, table[table[lbl]], sentinel)
+    ua = uid_of(La)
+    ub = uid_of(Lb)
+    # representative (original) value per compact id
+    rep = jnp.full((m_ids + 1,), sentinel, jnp.int32).at[uid_sorted].min(s)
+    junk_uid = jnp.int32(m_ids)
+    ua = jnp.where(valid, ua, junk_uid)
+    ub = jnp.where(valid, ub, junk_uid)
+
+    def merge_step(_, pv):
+        ra = pv[ua]
+        rb = pv[ub]
+        m = jnp.where(valid, jnp.minimum(ra, rb), sentinel)
+        pv = pv.at[ua].min(m)
+        pv = pv.at[ub].min(m)
+        return pv
+
+    parent_val = lax.fori_loop(0, _MERGE_ITERS, merge_step, rep)
+
+    # ---- phase 3: remap roots through the resolved table ----------------------
+    # T[v] = final root value for boundary labels v; identity elsewhere.
+    table = jnp.arange(n + 1, dtype=jnp.int32)
+    table = table.at[jnp.where(cat < n, cat, n)].min(
+        jnp.where(cat < n, parent_val[jnp.concatenate([ua, ub])], sentinel)
+    )
+    lbl = jnp.where(fg, table[lbl], sentinel)
 
     if not checked:
         return lbl

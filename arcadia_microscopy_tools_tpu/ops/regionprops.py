@@ -267,3 +267,48 @@ def measure_intensity(
         "intensity_min": cell(vmin),
         "intensity_std": cell(jnp.sqrt(var)),
     }
+
+
+@partial(jax.jit, static_argnames=("max_cells",))
+def measure_intensity_stack(
+    label_image: jax.Array, intensity_stack: jax.Array, max_cells: int
+) -> dict[int, dict[str, jax.Array]]:
+    """Per-label intensity statistics for a (C, H, W) channel stack.
+
+    All channels' sums and squared sums ride ONE MXU scan (Q = 2C + 1
+    quantities); min/max run one fused scan per channel. Returns
+    {channel_index: {stat: (max_cells,) array}}.
+    """
+    lbl = jnp.asarray(label_image).astype(jnp.int32)
+    stack = jnp.asarray(intensity_stack).astype(jnp.float32)
+    c = stack.shape[0]
+    nseg = max_cells + 1
+    seg = jnp.clip(lbl.ravel(), 0, max_cells)
+    vals = stack.reshape(c, -1)
+
+    scale = jnp.float32(1.0 / 256.0)
+    ones = jnp.ones((vals.shape[1],), jnp.float32)
+    quantities = jnp.concatenate(
+        [ones[None], vals * scale, (vals * scale) ** 2], axis=0
+    )  # (1 + 2C, N)
+    sums = segment_sums_matmul(quantities, seg, nseg)
+    count = sums[0]
+    n = jnp.maximum(count, 1.0)
+    s1 = sums[1 : 1 + c] / scale  # (C, S)
+    s2 = sums[1 + c :] / (scale * scale)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+
+    mins, maxs = segment_minmax_blockwise(vals, seg, nseg)
+    vmin = jnp.where(count > 0, mins, jnp.inf)
+    vmax = jnp.where(count > 0, maxs, -jnp.inf)
+
+    out: dict[int, dict[str, jax.Array]] = {}
+    for ci in range(c):
+        out[ci] = {
+            "intensity_mean": mean[ci, 1:],
+            "intensity_max": vmax[ci, 1:],
+            "intensity_min": vmin[ci, 1:],
+            "intensity_std": jnp.sqrt(var[ci, 1:]),
+        }
+    return out

@@ -104,7 +104,7 @@ def segment_minmax_blockwise(
     values: jax.Array,  # (Q, N) float32
     segment_ids: jax.Array,  # (N,)
     num_segments: int,
-    block: int = 4096,
+    block: int = 16384,
     compute_min: bool = True,
     compute_max: bool = True,
 ) -> tuple[jax.Array | None, jax.Array | None]:

@@ -38,7 +38,7 @@ from ..exceptions import SegmentationWarning
 from ..ops.basic import rescale_by_percentile, subtract_background_dog
 from ..ops.labeling import clear_border, label
 from ..ops.morphology import binary_opening, disk
-from ..ops.regionprops import measure_intensity, measure_labels
+from ..ops.regionprops import measure_intensity_stack, measure_labels
 from ..ops.threshold import _GLOBAL_METHODS
 from .mesh import MeshConfig, create_mesh, well_sharding
 
@@ -187,9 +187,9 @@ def _build_well_program(config: PlateRunConfig, n_channels: int, unet_params=Non
         # happens on host when tables are assembled - saves a full-image
         # sort + scatter per well.
         props = measure_labels(lbl, max_cells=config.max_cells)
-        intensity = {}
-        for ci in measure_idx:
-            intensity[ci] = measure_intensity(lbl, img[ci], max_cells=config.max_cells)
+        stack = jnp.stack([img[ci] for ci in measure_idx])
+        stats = measure_intensity_stack(lbl, stack, max_cells=config.max_cells)
+        intensity = {ci: stats[k] for k, ci in enumerate(measure_idx)}
         return lbl, props, intensity
 
     return well_fn
