@@ -199,15 +199,20 @@ def _propagate_labels(
     ua = jnp.where(valid, ua, junk_uid)
     ub = jnp.where(valid, ub, junk_uid)
 
-    def merge_step(_, pv):
+    def merge_step(state):
+        pv, it, _ = state
         ra = pv[ua]
         rb = pv[ub]
         m = jnp.where(valid, jnp.minimum(ra, rb), sentinel)
-        pv = pv.at[ua].min(m)
-        pv = pv.at[ub].min(m)
-        return pv
+        new = pv.at[ua].min(m)
+        new = new.at[ub].min(m)
+        return new, it + 1, jnp.any(new != pv)
 
-    parent_val = lax.fori_loop(0, _MERGE_ITERS, merge_step, rep)
+    parent_val, _, _ = lax.while_loop(
+        lambda s: s[2] & (s[1] < _MERGE_ITERS),
+        merge_step,
+        (rep, jnp.int32(0), jnp.bool_(True)),
+    )
 
     # ---- phase 3: remap roots through the resolved table ----------------------
     # T[v] = final root value for boundary labels v; identity elsewhere.

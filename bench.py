@@ -9,6 +9,12 @@ Prints ONE JSON line:
 vs_baseline is measured against the north-star target rate of 12.5
 images/sec/chip (>100 images/sec on a v5e-8 for a 384-well 4-channel 2048^2
 plate, BASELINE.md section b).
+
+Env knobs: BENCH_BATCH (wells per dispatch), BENCH_SIZE, BENCH_REPS,
+BENCH_CONFIG selects a BASELINE.md config instead of the headline run:
+  2 = batched preprocessing only (Gaussian + median + rolling-ball, 2048^2)
+  4 = U-Net inference + flow-tracking mask reconstruction
+(The headline run covers configs 1/3/5's compute path end-to-end.)
 """
 
 from __future__ import annotations
@@ -23,6 +29,76 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/
 import numpy as np
 
 
+def _bench_preprocessing(B: int, H: int, reps: int) -> None:
+    """BASELINE config 2: Gaussian + median denoise + rolling-ball background."""
+    import jax
+    import jax.numpy as jnp
+
+    from arcadia_microscopy_tools_tpu.ops.filters import (
+        gaussian_filter,
+        median_filter,
+        subtract_background_rolling_ball,
+    )
+
+    rng = np.random.default_rng(0)
+    tiles = jnp.asarray((rng.random((B, H, H)) * 4000).astype(np.uint16))
+
+    @jax.jit
+    def program(x):
+        y = gaussian_filter(x.astype(jnp.float32), 2.0)
+        y = median_filter(y, 3)
+        return subtract_background_rolling_ball(y, radius=25)
+
+    _ = float(program(tiles).ravel()[0])
+    t0 = time.time()
+    out = None
+    for _ in range(reps):
+        out = program(tiles)
+    _ = float(out.ravel()[0])
+    rate = B * reps / (time.time() - t0)
+    print(json.dumps({
+        "metric": "2048x2048 preprocessing (gaussian+median+rolling-ball)",
+        "value": round(rate, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(rate / 12.5, 3),
+    }))
+
+
+def _bench_unet(B: int, reps: int) -> None:
+    """BASELINE config 4: U-Net forward + flow tracking at 512^2."""
+    import jax
+    import jax.numpy as jnp
+
+    from arcadia_microscopy_tools_tpu.models.flows import compute_masks
+    from arcadia_microscopy_tools_tpu.models.unet import apply_unet
+    from arcadia_microscopy_tools_tpu.models.weights import seeded_params
+
+    params = seeded_params()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((B, 512, 512, 3)).astype(np.float32))
+
+    @jax.jit
+    def program(params, x):
+        out = apply_unet(params, x)
+        return jax.vmap(
+            lambda o: compute_masks(o, flow_threshold=0.0, niter=100, max_cells=1024)
+        )(out)
+
+    _ = float(program(params, x).ravel()[0])
+    t0 = time.time()
+    out = None
+    for _ in range(reps):
+        out = program(params, x)
+    _ = float(out.ravel()[0])
+    rate = B * reps / (time.time() - t0)
+    print(json.dumps({
+        "metric": "512x512 U-Net segment (forward + flow tracking)",
+        "value": round(rate, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(rate / 12.5, 3),
+    }))
+
+
 def main() -> None:
     import jax
 
@@ -33,6 +109,21 @@ def main() -> None:
         PlateRunConfig,
         _build_well_program,
     )
+
+    config_mode = os.environ.get("BENCH_CONFIG", "")
+    if config_mode == "2":
+        _bench_preprocessing(
+            int(os.environ.get("BENCH_BATCH", "2")),
+            int(os.environ.get("BENCH_SIZE", "2048")),
+            int(os.environ.get("BENCH_REPS", "5")),
+        )
+        return
+    if config_mode == "4":
+        _bench_unet(
+            int(os.environ.get("BENCH_BATCH", "2")),
+            int(os.environ.get("BENCH_REPS", "5")),
+        )
+        return
 
     B = int(os.environ.get("BENCH_BATCH", "2"))
     H = W = int(os.environ.get("BENCH_SIZE", "2048"))
