@@ -34,6 +34,7 @@ a batch of masks.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -41,6 +42,15 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["label", "relabel_sequential", "clear_border", "num_labels", "compact_labels"]
+
+# Opt-in Pallas kernel for the block-local phase (see ops/cc_pallas.py).
+_USE_PALLAS_LOCAL = os.environ.get("AMT_PALLAS_CC", "0") == "1"
+
+
+def use_pallas_local(enabled: bool) -> None:
+    """Toggle the Pallas block-local CC kernel (module-wide)."""
+    global _USE_PALLAS_LOCAL
+    _USE_PALLAS_LOCAL = enabled
 
 _NEIGHBORS_8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
 _NEIGHBORS_4 = [(-1, 0), (0, -1), (0, 1), (1, 0)]
@@ -156,29 +166,42 @@ def _propagate_labels(
     offsets = _NEIGHBORS_8 if connectivity == 2 else _NEIGHBORS_4
 
     # ---- phase 1: block-local sweeps (no gathers) ---------------------------
-    # while_loop in chunks of _LOCAL_CHECK_EVERY sweeps with an early-exit
-    # convergence check: typical cells converge well before the cap.
-    def local_chunk(state):
-        cur, it, _ = state
-        new = cur
-        for _ in range(_LOCAL_CHECK_EVERY):
-            new = _masked_neighbor_min(new, fg, sentinel, offsets, _BLOCK)
-        return new, it + _LOCAL_CHECK_EVERY, jnp.any(new != cur)
-
-    def local_cond(state):
-        _, it, changed = state
-        return changed & (it < _LOCAL_ITERS)
-
-    lbl, _, _ = lax.while_loop(
-        local_cond, local_chunk, (lbl, jnp.int32(0), jnp.bool_(True))
+    block = _BLOCK
+    pallas_ok = (
+        _USE_PALLAS_LOCAL
+        and h % 128 == 0
+        and w % 128 == 0
+        and jax.devices()[0].platform != "cpu"
     )
+    if pallas_ok:
+        from .cc_pallas import PALLAS_CC_BLOCK, local_cc_pallas
+
+        block = PALLAS_CC_BLOCK
+        lbl = jnp.where(fg, local_cc_pallas(fg, connectivity), sentinel)
+    else:
+        # while_loop in chunks of _LOCAL_CHECK_EVERY sweeps with an early-exit
+        # convergence check: typical cells converge well before the cap.
+        def local_chunk(state):
+            cur, it, _ = state
+            new = cur
+            for _ in range(_LOCAL_CHECK_EVERY):
+                new = _masked_neighbor_min(new, fg, sentinel, offsets, _BLOCK)
+            return new, it + _LOCAL_CHECK_EVERY, jnp.any(new != cur)
+
+        def local_cond(state):
+            _, it, changed = state
+            return changed & (it < _LOCAL_ITERS)
+
+        lbl, _, _ = lax.while_loop(
+            local_cond, local_chunk, (lbl, jnp.int32(0), jnp.bool_(True))
+        )
 
     # ---- phase 2: boundary merge on a COMPACTED key space ---------------------
     # The only labels that can disagree across blocks are those on block
     # boundaries. Compact them (sort + run ranks) so the union-find table is
     # a few-hundred-K entries instead of H*W - scatters/gathers on a full
     # (n+1) table cost ~0.5 s/image at 2048^2, the compact version ~tens of ms.
-    La, Lb = _boundary_pairs(lbl, sentinel, offsets, _BLOCK)
+    La, Lb = _boundary_pairs(lbl, sentinel, offsets, block)
     valid = (La < n) & (Lb < n)
 
     cat = jnp.concatenate([La, Lb])
