@@ -26,7 +26,7 @@ from .measure import convex_areas, extract_outlines
 from .ops.labeling import clear_border as _clear_border
 from .ops.labeling import label as _label
 from .ops.labeling import relabel_sequential as _relabel_sequential
-from .ops.regionprops import measure_intensity, measure_labels
+from .ops.regionprops import measure_intensity_stack, measure_labels
 from .typing import BoolArray, Float64Array, Int64Array, ScalarArray, UInt16Array
 
 DEFAULT_CELL_PROPERTY_NAMES = [
@@ -289,11 +289,17 @@ class SegmentationMask:
                 (a > 0) & (b > 0), (4.0 / 3.0) * np.pi * a * b * b, 0.0
             )
 
-        # Per-channel intensity properties
+        # Per-channel intensity properties: one fused device pass for the
+        # whole channel stack
         if self.intensity_image_dict and self.intensity_property_names:
             max_cells = _round_up(self.num_cells)
-            for channel, intensities in self.intensity_image_dict.items():
-                stats = measure_intensity(self.label_image, intensities, max_cells=max_cells)
+            channels = list(self.intensity_image_dict.keys())
+            stack = np.stack([self.intensity_image_dict[ch] for ch in channels])
+            all_stats = measure_intensity_stack(
+                self.label_image, stack, max_cells=max_cells
+            )
+            for ci, channel in enumerate(channels):
+                stats = all_stats[ci]
                 for prop_name in self.intensity_property_names:
                     if prop_name not in stats:
                         raise ValueError(

@@ -50,9 +50,9 @@ def _kernel(fg_ref, out_ref, *, width: int, connectivity: int):
         padded = jnp.pad(lbl, 1, mode="constant", constant_values=sentinel)
         out = lbl
         for dy, dx in offsets:
-            out = jnp.minimum(
-                out, lax.dynamic_slice(padded, (1 + dy, 1 + dx), (block, block))
-            )
+            # static slices only: Pallas TPU lowering lacks dynamic_slice
+            shifted = padded[1 + dy : 1 + dy + block, 1 + dx : 1 + dx + block]
+            out = jnp.minimum(out, shifted)
         return jnp.where(fg, out, sentinel)
 
     def body(state):
