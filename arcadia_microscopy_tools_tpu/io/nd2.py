@@ -29,7 +29,7 @@ Container layout (little-endian):
 from __future__ import annotations
 
 import mmap
-import re
+
 import struct
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field

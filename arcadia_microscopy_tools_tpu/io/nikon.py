@@ -18,7 +18,7 @@ import warnings
 from datetime import datetime
 from pathlib import Path
 
-import numpy as np
+
 import pandas as pd
 
 from ..core.channels import BRIGHTFIELD, CHANNELS, FITC, Channel

@@ -12,12 +12,12 @@ All functions here are written for use inside `shard_map` over a mesh axis.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh, PartitionSpec
 
 __all__ = [
     "halo_exchange",

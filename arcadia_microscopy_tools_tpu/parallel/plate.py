@@ -22,8 +22,8 @@ import json
 import logging
 import time
 import warnings
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
+
 from pathlib import Path
 from typing import Any, Callable, Mapping
 
