@@ -48,16 +48,63 @@ def histogram_int(x: jax.Array, n_values: int) -> tuple[jax.Array, jax.Array]:
     range; threshold algorithms mask to the occupied range, which makes them
     bit-identical to the min..max-trimmed histogram skimage uses.
 
+    MXU formulation: with hi = v >> 8 and lo = v & 255, the 65536-bin count
+    matrix is C[hi, lo] = sum_p onehot_hi[p, hi] * onehot_lo[p, lo] - a
+    blockwise (256, B) @ (B, 256) bf16 matmul with exact f32 accumulation
+    (counts < 2^24), replacing a full-image sort + 65k binary searches.
+
     Returns:
         (counts[n_values], centers[n_values]) - centers are the integer values.
     """
-    flat = jnp.sort(jnp.ravel(x).astype(jnp.int32))
-    edges = jnp.arange(n_values + 1, dtype=jnp.int32)
-    counts = jnp.searchsorted(flat, edges[1:], side="left") - jnp.searchsorted(
-        flat, edges[:-1], side="left"
-    )
+    from jax import lax
+
+    flat = jnp.ravel(x).astype(jnp.int32)
     centers = jnp.arange(n_values, dtype=jnp.float32)
-    return counts.astype(jnp.float32), centers
+
+    if n_values <= 256:
+        # single-level one-hot matmul
+        block = 16384
+        pad = (-flat.size) % block
+        v = jnp.pad(flat, (0, pad), constant_values=n_values)  # pad bin dropped
+        k = v.size // block
+        vb = v.reshape(k, block)
+        iota = lax.broadcasted_iota(jnp.int32, (block, n_values), 1)
+        ones = jnp.ones((1, block), jnp.bfloat16)
+
+        def body(carry, labels):
+            onehot = (labels[:, None] == iota).astype(jnp.bfloat16)
+            return carry + lax.dot_general(
+                ones, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0], None
+
+        counts, _ = lax.scan(body, jnp.zeros((n_values,), jnp.float32), vb)
+        return counts, centers
+
+    if n_values != 65536:
+        raise ValueError(f"histogram_int supports <=256 or 65536 bins, got {n_values}")
+
+    block = 8192
+    pad = (-flat.size) % block
+    # padded slots: send them to a dropped sentinel column (hi=256)
+    v = jnp.pad(flat, (0, pad), constant_values=-1)
+    k = v.size // block
+    vb = v.reshape(k, block)
+    iota256 = lax.broadcasted_iota(jnp.int32, (block, 256), 1)
+
+    def body(carry, labels):
+        hi = jnp.where(labels >= 0, labels >> 8, 256)
+        lo = jnp.where(labels >= 0, labels & 255, 256)
+        onehot_hi = (hi[:, None] == iota256).astype(jnp.bfloat16)  # (B, 256)
+        onehot_lo = (lo[:, None] == iota256).astype(jnp.bfloat16)
+        partial_counts = lax.dot_general(
+            onehot_hi, onehot_lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (256, 256)
+        return carry + partial_counts, None
+
+    counts2d, _ = lax.scan(body, jnp.zeros((256, 256), jnp.float32), vb)
+    return counts2d.reshape(65536), centers
 
 
 @partial(jax.jit, static_argnames=("nbins",))
