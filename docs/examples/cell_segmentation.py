@@ -5,6 +5,14 @@
 # reference's cell_segmentation.ipynb.)
 
 # %%
+import sys
+from pathlib import Path
+
+# allow running straight from a checkout without installing the package
+_repo_root = Path(__file__).resolve().parents[2]
+if str(_repo_root) not in sys.path:
+    sys.path.insert(0, str(_repo_root))
+
 import numpy as np
 
 from arcadia_microscopy_tools_tpu.masks import SegmentationMask
