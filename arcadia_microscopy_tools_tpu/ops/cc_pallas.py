@@ -23,7 +23,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["local_cc_pallas", "PALLAS_CC_BLOCK"]
+__all__ = ["local_cc_pallas", "local_resweep_pallas", "PALLAS_CC_BLOCK"]
 
 PALLAS_CC_BLOCK = 128  # square VMEM block; also the merge-phase block size
 _MAX_SWEEPS = 256  # cap on in-block sweeps (early exit on convergence)
@@ -66,6 +66,39 @@ def _kernel(fg_ref, out_ref, *, width: int, connectivity: int):
     out_ref[:] = lbl
 
 
+def _resweep_kernel(fg_ref, init_ref, out_ref, *, connectivity: int):
+    """Seeded variant: min-propagate an existing label block to its in-block
+    fixpoint. Used to spread boundary-merged global roots into block
+    interiors without any full-image gather (see labeling.component_roots)."""
+    block = fg_ref.shape[0]
+    fg = fg_ref[:]
+    sentinel = jnp.int32(2**30)
+    lbl0 = jnp.where(fg, init_ref[:], sentinel)
+
+    if connectivity == 2:
+        offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    else:
+        offsets = [(-1, 0), (0, -1), (0, 1), (1, 0)]
+
+    def sweep(lbl):
+        padded = jnp.pad(lbl, 1, mode="constant", constant_values=sentinel)
+        out = lbl
+        for dy, dx in offsets:
+            shifted = padded[1 + dy : 1 + dy + block, 1 + dx : 1 + dx + block]
+            out = jnp.minimum(out, shifted)
+        return jnp.where(fg, out, sentinel)
+
+    def body(state):
+        lbl, it, _ = state
+        new = sweep(sweep(lbl))
+        return new, it + 2, jnp.any(new != lbl)
+
+    lbl, _, _ = lax.while_loop(
+        lambda s: s[2] & (s[1] < _MAX_SWEEPS), body, (lbl0, jnp.int32(0), jnp.bool_(True))
+    )
+    out_ref[:] = lbl
+
+
 @functools.partial(jax.jit, static_argnames=("connectivity", "interpret"))
 def local_cc_pallas(
     fg: jax.Array, connectivity: int = 2, interpret: bool = False
@@ -88,4 +121,32 @@ def local_cc_pallas(
         out_specs=pl.BlockSpec((block, block), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(fg)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "interpret"))
+def local_resweep_pallas(
+    fg: jax.Array, init: jax.Array, connectivity: int = 2, interpret: bool = False
+) -> jax.Array:
+    """Min-propagate existing labels to the in-block fixpoint (seeded sweep).
+
+    `init` carries per-pixel labels where block-boundary pixels have been
+    overwritten with their merged global roots; this kernel spreads those
+    seeds through each block's connected sets entirely in VMEM.
+    """
+    h, w = fg.shape
+    block = PALLAS_CC_BLOCK
+    if h % block or w % block:
+        raise ValueError(f"mask shape {fg.shape} must be a multiple of {block}")
+
+    grid = (h // block, w // block)
+    spec = pl.BlockSpec((block, block), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_resweep_kernel, connectivity=connectivity),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(fg, init)
     return out

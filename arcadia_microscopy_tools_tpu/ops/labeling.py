@@ -12,13 +12,16 @@ XLA):
    WITHIN static 64x64 blocks. These sweeps are pure shifted compares (VPU,
    no gathers) that XLA fuses into one memory pass per iteration.
 2. **Boundary merge phase** - only pixels on block edges can disagree across
-   blocks. Their label pairs (a few hundred K for a 2048^2 image) drive a
-   union-find root table: gather roots, scatter-min the merged root, iterate
-   a fixed number of rounds with in-loop path compression.
-3. **Remap + rank** - one global gather maps pixels through the root table;
-   roots are ranked by a cumulative sum over the root indicator (a pixel is
-   a root iff label == own index), reproducing skimage's scan-order
-   numbering exactly.
+   blocks. The real merge edges (both sides foreground, labels differ - a
+   few tens of K) are compacted by a small sort, then drive a union-find
+   root table whose gathers/scatters touch only the compact key space.
+3. **Seed + re-sweep** - block-edge strips are overwritten with their merged
+   global roots (static strided slices, ~2% of pixels) and one seeded
+   in-block sweep spreads them to block interiors in VMEM. This replaces
+   the full-image remap gather (a 4M-pixel gather costs ~40 ms on this
+   toolchain). For the public `label()`, roots are then ranked by a
+   cumulative sum over the root indicator (a pixel is a root iff
+   label == own index), reproducing skimage's scan-order numbering exactly.
 4. Optionally (`checked=True`, the default for the public API) a global
    neighbor-min + pointer-jump `while_loop` verifies the fixpoint, which
    guarantees correctness for adversarial shapes (e.g. spirals threading
@@ -41,7 +44,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["label", "relabel_sequential", "clear_border", "num_labels", "compact_labels"]
+__all__ = [
+    "label",
+    "component_roots",
+    "relabel_sequential",
+    "clear_border",
+    "num_labels",
+    "compact_labels",
+]
 
 # Pallas kernel for the block-local phase (see ops/cc_pallas.py): default ON
 # for accelerator backends (2.5x faster CC, measured on v5e), AMT_PALLAS_CC=0
@@ -154,21 +164,17 @@ def _boundary_pairs(lbl: jax.Array, sentinel, offsets, block):
     return jnp.concatenate(pairs_a), jnp.concatenate(pairs_b)
 
 
-@partial(jax.jit, static_argnames=("connectivity", "checked"))
-def _propagate_labels(
-    fg: jax.Array, connectivity: int = 2, checked: bool = True
-) -> jax.Array:
-    """Union-find by label propagation; returns root linear indices per pixel
-    (sentinel = H*W on background)."""
+def _local_phase(fg: jax.Array, connectivity: int) -> tuple[jax.Array, int]:
+    """Phase 1: in-block root indices (sentinel = H*W on background).
+
+    Returns (labels, block) where `block` is the tile size whose edges the
+    boundary-merge phase must reconcile.
+    """
     h, w = fg.shape
     n = h * w
     sentinel = jnp.int32(n)
-    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
-    lbl = jnp.where(fg, idx, sentinel)
     offsets = _NEIGHBORS_8 if connectivity == 2 else _NEIGHBORS_4
 
-    # ---- phase 1: block-local sweeps (no gathers) ---------------------------
-    block = _BLOCK
     pallas_ok = (
         _USE_PALLAS_LOCAL
         and h % 128 == 0
@@ -178,51 +184,102 @@ def _propagate_labels(
     if pallas_ok:
         from .cc_pallas import PALLAS_CC_BLOCK, local_cc_pallas
 
-        block = PALLAS_CC_BLOCK
-        lbl = jnp.where(fg, local_cc_pallas(fg, connectivity), sentinel)
-    else:
-        # while_loop in chunks of _LOCAL_CHECK_EVERY sweeps with an early-exit
-        # convergence check: typical cells converge well before the cap.
-        def local_chunk(state):
-            cur, it, _ = state
-            new = cur
-            for _ in range(_LOCAL_CHECK_EVERY):
-                new = _masked_neighbor_min(new, fg, sentinel, offsets, _BLOCK)
-            return new, it + _LOCAL_CHECK_EVERY, jnp.any(new != cur)
+        return jnp.where(fg, local_cc_pallas(fg, connectivity), sentinel), PALLAS_CC_BLOCK
 
-        def local_cond(state):
-            _, it, changed = state
-            return changed & (it < _LOCAL_ITERS)
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    lbl = jnp.where(fg, idx, sentinel)
 
-        lbl, _, _ = lax.while_loop(
-            local_cond, local_chunk, (lbl, jnp.int32(0), jnp.bool_(True))
-        )
+    # while_loop in chunks of _LOCAL_CHECK_EVERY sweeps with an early-exit
+    # convergence check: typical cells converge well before the cap.
+    def local_chunk(state):
+        cur, it, _ = state
+        new = cur
+        for _ in range(_LOCAL_CHECK_EVERY):
+            new = _masked_neighbor_min(new, fg, sentinel, offsets, _BLOCK)
+        return new, it + _LOCAL_CHECK_EVERY, jnp.any(new != cur)
 
-    # ---- phase 2: boundary merge on a COMPACTED key space ---------------------
-    # The only labels that can disagree across blocks are those on block
-    # boundaries. Compact them (sort + run ranks) so the union-find table is
-    # a few-hundred-K entries instead of H*W - scatters/gathers on a full
-    # (n+1) table cost ~0.5 s/image at 2048^2, the compact version ~tens of ms.
-    La, Lb = _boundary_pairs(lbl, sentinel, offsets, block)
-    valid = (La < n) & (Lb < n)
+    def local_cond(state):
+        _, it, changed = state
+        return changed & (it < _LOCAL_ITERS)
 
-    cat = jnp.concatenate([La, Lb])
-    s = jnp.sort(cat)
+    lbl, _, _ = lax.while_loop(
+        local_cond, local_chunk, (lbl, jnp.int32(0), jnp.bool_(True))
+    )
+    return lbl, _BLOCK
+
+
+def _local_resweep(fg: jax.Array, init: jax.Array, connectivity: int, block: int) -> jax.Array:
+    """Seeded phase-1 rerun: min-propagate `init` to the in-block fixpoint."""
+    h, w = fg.shape
+    n = h * w
+    sentinel = jnp.int32(n)
+    offsets = _NEIGHBORS_8 if connectivity == 2 else _NEIGHBORS_4
+
+    pallas_ok = (
+        _USE_PALLAS_LOCAL
+        and h % 128 == 0
+        and w % 128 == 0
+        and jax.devices()[0].platform != "cpu"
+    )
+    if pallas_ok and block == 128:
+        from .cc_pallas import local_resweep_pallas
+
+        return jnp.where(fg, local_resweep_pallas(fg, init, connectivity), sentinel)
+
+    def local_chunk(state):
+        cur, it, _ = state
+        new = cur
+        for _ in range(_LOCAL_CHECK_EVERY):
+            new = _masked_neighbor_min(new, fg, sentinel, offsets, block)
+        return new, it + _LOCAL_CHECK_EVERY, jnp.any(new != cur)
+
+    def local_cond(state):
+        _, it, changed = state
+        return changed & (it < _LOCAL_ITERS)
+
+    lbl, _, _ = lax.while_loop(
+        local_cond, local_chunk, (init, jnp.int32(0), jnp.bool_(True))
+    )
+    return lbl
+
+
+def _merge_boundary_pairs(La, Lb, n, pair_cap):
+    """Union-find over the boundary label pairs, on a COMPACTED key space.
+
+    Real merge edges (both sides foreground, labels differ) are compacted to a
+    static `pair_cap` slots by one small sort, so the union-find tables hold a
+    few tens of K entries instead of H*W - every gather/scatter in the merge
+    loop is then microseconds instead of tens of milliseconds.
+
+    Returns (keys, roots, overflowed): sorted distinct boundary labels, the
+    resolved root per sorted slot, and a flag set when more than `pair_cap`
+    real edges existed (the convergence certificate downstream catches any
+    resulting miss).
+    """
+    sentinel = jnp.int32(n)
+    real = (La < n) & (Lb < n) & (La != Lb)
+    overflow = jnp.sum(real) > pair_cap
+
+    # compact the real edges to the front; invalid slots carry sentinels
+    order = jnp.where(real, 0, 1).astype(jnp.int32)
+    order_s, La_s, Lb_s = lax.sort((order, La, Lb), num_keys=1)
+    valid = order_s[:pair_cap] == 0
+    La_c = jnp.where(valid, La_s[:pair_cap], sentinel)
+    Lb_c = jnp.where(valid, Lb_s[:pair_cap], sentinel)
+
+    # one sort with a position payload yields the sorted keys, the compact id
+    # per slot, AND each original slot's compact id (scattered back) - no
+    # searchsorted (whose default lowering is ~17 sequential gathers on TPU)
+    cat = jnp.concatenate([La_c, Lb_c])
+    m_ids = cat.shape[0]
+    s, pos = lax.sort((cat, jnp.arange(m_ids, dtype=jnp.int32)), num_keys=1)
     is_new = s != jnp.concatenate([jnp.full((1,), -1, s.dtype), s[:-1]])
-    uid_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # compact id per sorted slot
-    m_ids = cat.shape[0]  # static bound on distinct ids
+    uid_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    uid_at = jnp.zeros((m_ids,), jnp.int32).at[pos].set(uid_sorted)
 
-    def uid_of(values):
-        pos = jnp.searchsorted(s, values)
-        return uid_sorted[jnp.clip(pos, 0, m_ids - 1)]
-
-    ua = uid_of(La)
-    ub = uid_of(Lb)
-    # representative (original) value per compact id
+    ua = jnp.where(valid, uid_at[: La_c.shape[0]], m_ids)
+    ub = jnp.where(valid, uid_at[La_c.shape[0] :], m_ids)
     rep = jnp.full((m_ids + 1,), sentinel, jnp.int32).at[uid_sorted].min(s)
-    junk_uid = jnp.int32(m_ids)
-    ua = jnp.where(valid, ua, junk_uid)
-    ub = jnp.where(valid, ub, junk_uid)
 
     def merge_step(state):
         pv, it, _ = state
@@ -234,18 +291,140 @@ def _propagate_labels(
         return new, it + 1, jnp.any(new != pv)
 
     parent_val, _, _ = lax.while_loop(
-        lambda s: s[2] & (s[1] < _MERGE_ITERS),
+        lambda st: st[2] & (st[1] < _MERGE_ITERS),
         merge_step,
         (rep, jnp.int32(0), jnp.bool_(True)),
     )
 
-    # ---- phase 3: remap roots through the resolved table ----------------------
-    # T[v] = final root value for boundary labels v; identity elsewhere.
-    table = jnp.arange(n + 1, dtype=jnp.int32)
-    table = table.at[jnp.where(cat < n, cat, n)].min(
-        jnp.where(cat < n, parent_val[jnp.concatenate([ua, ub])], sentinel)
+    # roots aligned with the sorted key array s
+    roots = parent_val[uid_sorted]
+    return s, roots, overflow
+
+
+def _resolve_values(values, keys, roots, n):
+    """Root lookup for arbitrary label values via a sort-merge join.
+
+    `keys` are sorted distinct boundary labels with resolved `roots`; values
+    not present map to themselves. One 3-operand sort + cummax replaces
+    searchsorted (sequential binary-search gathers are latency-bound on TPU).
+    """
+    nq = values.shape[0]
+    m = keys.shape[0]
+    v = jnp.concatenate([keys, values])
+    # tiebreak 0 = key entry, 1 = query, so each key precedes its queries
+    tie = jnp.concatenate(
+        [jnp.zeros((m,), jnp.int32), jnp.ones((nq,), jnp.int32)]
     )
-    lbl = jnp.where(fg, table[lbl], sentinel)
+    aux = jnp.concatenate([roots, jnp.arange(nq, dtype=jnp.int32)])
+    sv, st, sa = lax.sort((v, tie, aux), num_keys=2)
+
+    is_key = st == 0
+    iota = jnp.arange(m + nq, dtype=jnp.int32)
+    last_key = lax.cummax(jnp.where(is_key, iota, -1))
+    safe = jnp.maximum(last_key, 0)
+    match = (last_key >= 0) & (sv[safe] == sv)
+    resolved = jnp.where(match, sa[safe], sv)
+    # scatter query results back to their original positions (key rows drop)
+    out_pos = jnp.where(is_key, nq, sa)
+    out = jnp.zeros((nq,), jnp.int32).at[out_pos].set(resolved, mode="drop")
+    return jnp.where(values < n, out, values)
+
+
+def _seed_boundary_strips(lbl, keys, roots, n, block):
+    """Overwrite every block-edge pixel's label with its merged global root.
+
+    The strips are static strided slices (~2-3% of pixels), resolved in ONE
+    batched sort-merge join. A subsequent in-block re-sweep spreads the seeds
+    to interiors, which replaces the full-image remap gather of the old
+    phase 3.
+    """
+    h, w = lbl.shape
+    strips = []
+    if h > block:
+        strips.append(lbl[block - 1 :: block, :])
+        strips.append(lbl[block::block, :])
+    if w > block:
+        strips.append(lbl[:, block - 1 :: block])
+        strips.append(lbl[:, block::block])
+    if not strips:
+        return lbl
+
+    flat = jnp.concatenate([s.ravel() for s in strips])
+    resolved = _resolve_values(flat, keys, roots, n)
+
+    out = lbl
+    offset = 0
+    i = 0
+    if h > block:
+        for sl in (
+            (slice(block - 1, None, block), slice(None)),
+            (slice(block, None, block), slice(None)),
+        ):
+            size = strips[i].size
+            out = out.at[sl].set(resolved[offset : offset + size].reshape(strips[i].shape))
+            offset += size
+            i += 1
+    if w > block:
+        for sl in (
+            (slice(None), slice(block - 1, None, block)),
+            (slice(None), slice(block, None, block)),
+        ):
+            size = strips[i].size
+            out = out.at[sl].set(resolved[offset : offset + size].reshape(strips[i].shape))
+            offset += size
+            i += 1
+    return out
+
+
+@partial(jax.jit, static_argnames=("connectivity", "pair_cap"))
+def component_roots(
+    fg: jax.Array, connectivity: int = 2, pair_cap: int = 65536
+) -> tuple[jax.Array, jax.Array]:
+    """Per-pixel component root indices, gather-free.
+
+    The fast path of the labeler: phase-1 block-local sweeps, a union-find
+    over COMPACTED boundary edges, then boundary-strip seeding + an in-block
+    re-sweep instead of a full-image remap gather (each 4M-pixel gather costs
+    ~40 ms on TPU; the seeded re-sweep runs in VMEM).
+
+    Returns:
+        (roots, converged): `roots` is an int32 image of component-minimum
+        linear indices (sentinel = H*W on background); `converged` is a
+        device boolean certifying the fixpoint (one extra neighbor-min pass:
+        True guarantees the labeling is exact even for adversarial shapes or
+        `pair_cap` overflow).
+    """
+    fg = jnp.asarray(fg).astype(bool)
+    h, w = fg.shape
+    n = h * w
+    sentinel = jnp.int32(n)
+    offsets = _NEIGHBORS_8 if connectivity == 2 else _NEIGHBORS_4
+
+    lbl, block = _local_phase(fg, connectivity)
+    La, Lb = _boundary_pairs(lbl, sentinel, offsets, block)
+    keys, roots, _ = _merge_boundary_pairs(La, Lb, n, pair_cap)
+    lbl = _seed_boundary_strips(lbl, keys, roots, n, block)
+    lbl = _local_resweep(fg, lbl, connectivity, block)
+
+    # convergence certificate: the labeling is a fixpoint iff no pixel sees a
+    # smaller neighbor label (one fused VPU pass + reduce)
+    nb = _neighbor_min(lbl, sentinel, offsets)
+    converged = ~jnp.any(jnp.where(fg, nb < lbl, False))
+    return lbl, converged
+
+
+@partial(jax.jit, static_argnames=("connectivity", "checked"))
+def _propagate_labels(
+    fg: jax.Array, connectivity: int = 2, checked: bool = True
+) -> jax.Array:
+    """Union-find by label propagation; returns root linear indices per pixel
+    (sentinel = H*W on background)."""
+    h, w = fg.shape
+    n = h * w
+    sentinel = jnp.int32(n)
+    offsets = _NEIGHBORS_8 if connectivity == 2 else _NEIGHBORS_4
+
+    lbl, _ = component_roots(fg, connectivity)
 
     if not checked:
         return lbl

@@ -36,9 +36,15 @@ from ..core.channels import Channel
 from ..core.microplate import MicroplateLayout
 from ..exceptions import SegmentationWarning
 from ..ops.basic import rescale_by_percentile, subtract_background_dog
-from ..ops.labeling import clear_border, label
+from ..ops.compaction import compact_by_root
+from ..ops.fused import HIST_THRESHOLD_METHODS, fused_classical_mask
+from ..ops.labeling import clear_border, component_roots, label
 from ..ops.morphology import binary_opening, disk
-from ..ops.regionprops import measure_intensity_stack, measure_labels
+from ..ops.regionprops import (
+    measure_compacted,
+    measure_intensity_stack,
+    measure_labels,
+)
 from ..ops.threshold import _GLOBAL_METHODS
 from .mesh import MeshConfig, create_mesh, well_sharding
 
@@ -81,6 +87,7 @@ class PlateRunConfig:
     cellprob_threshold: float = 0.0
     flow_threshold: float = 0.4
     niter: int = 200
+    fg_cap_fraction: float = 0.25
 
 
 class PlateResults:
@@ -124,16 +131,36 @@ class PlateResults:
 
 def _build_well_program(config: PlateRunConfig, n_channels: int, unet_params=None):
     """Trace-time construction of the fused single-well program; the caller
-    vmaps it over the batch and shards the batch over the mesh."""
+    vmaps it over the batch and shards the batch over the mesh.
+
+    The classical path is fully gather-free: fused histogram frontend
+    (ops/fused.py), two-phase CC with boundary seeding (ops/labeling.py),
+    one foreground-compaction sort, then all measurements as MXU reductions
+    over the compact pixel set (ops/regionprops.measure_compacted). The
+    program also emits per-well health scalars - component count, foreground
+    overflow, CC convergence certificate - which the host turns into
+    SegmentationWarnings instead of silently corrupted tables.
+    """
     seg_idx = config.seg_channel_index
     measure_idx = (
         config.measure_channel_indices
         if config.measure_channel_indices is not None
         else tuple(range(n_channels))
     )
-    threshold_fn = _GLOBAL_METHODS[config.threshold_method]
 
     def classical_mask(seg_img):
+        if (
+            config.threshold_method in HIST_THRESHOLD_METHODS
+            and config.opening_radius == 0
+        ):
+            return fused_classical_mask(
+                seg_img,
+                low_sigma=config.low_sigma,
+                high_sigma=config.high_sigma,
+                percentile_range=(0.5, 99.9),
+                method=config.threshold_method,
+            )
+        threshold_fn = _GLOBAL_METHODS[config.threshold_method]
         x = subtract_background_dog(
             seg_img, low_sigma=config.low_sigma, high_sigma=config.high_sigma
         )
@@ -141,8 +168,7 @@ def _build_well_program(config: PlateRunConfig, n_channels: int, unet_params=Non
         # quantize the normalized image so the integer-exact histogram
         # thresholds apply; 16-bit quantization is far below noise level
         q = (x * 65535.0).astype(jnp.uint16)
-        thresh = threshold_fn(q)
-        mask = q.astype(jnp.float32) > thresh
+        mask = q.astype(jnp.float32) > threshold_fn(q)
         if config.opening_radius > 0:
             mask = binary_opening(mask, disk(config.opening_radius))
         return mask
@@ -168,29 +194,41 @@ def _build_well_program(config: PlateRunConfig, n_channels: int, unet_params=Non
 
     def well_fn(img):  # (C, H, W) uint16
         seg_img = img[seg_idx]
+        stack = jnp.stack([img[ci] for ci in measure_idx])
+
         if config.method == "classical":
+            h, w = seg_img.shape
+            cap = max(1, int(h * w * config.fg_cap_fraction))
+            cap = -(-cap // 8192) * 8192  # round up to the reduction block
+            cap = min(cap, h * w)
             mask = classical_mask(seg_img)
-            # checked=False: cell-like components span far fewer blocks than
-            # the merge phase's round budget, so the verification pass is
-            # provably redundant here (see ops/labeling.py docstring)
-            lbl = label(mask, checked=False)
+            roots, converged = component_roots(mask)
+            comp = compact_by_root(roots, cap)
+            props, stats = measure_compacted(
+                comp.seg, comp.idx, roots, stack, config.max_cells, w
+            )
+            health = {
+                "num_components": comp.num_components,
+                "fg_overflow": comp.overflow,
+                "converged": converged,
+            }
         elif config.method == "unet":
             lbl = unet_mask(seg_img)
+            if config.remove_edge_cells:
+                lbl = clear_border(lbl)
+            props = measure_labels(lbl, max_cells=config.max_cells)
+            stats_raw = measure_intensity_stack(lbl, stack, max_cells=config.max_cells)
+            stats = dict(stats_raw)
+            health = {
+                "num_components": jnp.max(lbl),
+                "fg_overflow": jnp.bool_(False),
+                "converged": jnp.bool_(True),
+            }
         else:
             raise ValueError(f"Unknown segmentation method: {config.method!r}")
 
-        if config.remove_edge_cells:
-            lbl = clear_border(lbl)
-
-        # No device-side relabel/size-filter: measurement is label-gap
-        # tolerant (area==0 slots are masked invalid), and the min_size cut
-        # happens on host when tables are assembled - saves a full-image
-        # sort + scatter per well.
-        props = measure_labels(lbl, max_cells=config.max_cells)
-        stack = jnp.stack([img[ci] for ci in measure_idx])
-        stats = measure_intensity_stack(lbl, stack, max_cells=config.max_cells)
         intensity = {ci: stats[k] for k, ci in enumerate(measure_idx)}
-        return lbl, props, intensity
+        return props, intensity, health
 
     return well_fn
 
@@ -265,10 +303,21 @@ class PlateRunner:
         intensity: dict[int, dict[str, np.ndarray]],
         channels: list[Channel] | None,
         well_index: int,
+        image_shape: tuple[int, int],
     ) -> pd.DataFrame:
         valid = np.asarray(props["valid"][well_index])
         area_all = np.asarray(props["area"][well_index])
         keep = valid & (area_all >= self.config.min_size)
+        if self.config.remove_edge_cells and self.config.method == "classical":
+            # border cut from bboxes on host (free) instead of a device-side
+            # relabel pass; matches skimage.segmentation.clear_border
+            h, w = image_shape
+            keep &= (
+                (np.asarray(props["bbox_min_row"][well_index]) > 0)
+                & (np.asarray(props["bbox_min_col"][well_index]) > 0)
+                & (np.asarray(props["bbox_max_row"][well_index]) < h)
+                & (np.asarray(props["bbox_max_col"][well_index]) < w)
+            )
         data: dict[str, np.ndarray] = {}
         order = [
             "label",
@@ -297,6 +346,31 @@ class PlateRunner:
             for stat_name, values in stats.items():
                 data[f"{stat_name}_{suffix}"] = np.asarray(values[well_index])[keep]
         return pd.DataFrame(data)
+
+    def _well_health_problem(
+        self, health: dict[str, np.ndarray], well_index: int
+    ) -> str | None:
+        """Inspect the device-side health scalars for one well; a non-None
+        return is the warning text and the well is marked failed (the same
+        isolation contract as a decode error - no silent corruption)."""
+        n_comp = int(health["num_components"][well_index])
+        if n_comp > self.config.max_cells:
+            return (
+                f"{n_comp} components exceed max_cells={self.config.max_cells}; "
+                f"re-run with a larger max_cells"
+            )
+        if bool(health["fg_overflow"][well_index]):
+            return (
+                "foreground pixels exceed the compaction capacity "
+                f"(fg_cap_fraction={self.config.fg_cap_fraction}); re-run with a "
+                "larger fg_cap_fraction"
+            )
+        if not bool(health["converged"][well_index]):
+            return (
+                "connected-components labeling did not converge (pathological "
+                "component shapes); results would be unreliable"
+            )
+        return None
 
     def run(
         self,
@@ -384,7 +458,7 @@ class PlateRunner:
 
             t0 = time.time()
             try:
-                lbl, props, intensity = program(jnp.asarray(stack))
+                props, intensity, health = program(jnp.asarray(stack))
                 jax.block_until_ready(props["area"])
             except Exception as e:  # noqa: BLE001
                 warnings.warn(
@@ -403,8 +477,20 @@ class PlateRunner:
                 ci: {k: np.asarray(v) for k, v in stats.items()}
                 for ci, stats in intensity.items()
             }
+            health_h = {k: np.asarray(v) for k, v in health.items()}
             for i, well_id in enumerate(ok_ids[:n_real]):
-                table = self._results_to_table(props_h, intensity_h, channels, i)
+                problem = self._well_health_problem(health_h, i)
+                if problem is not None:
+                    warnings.warn(
+                        f"Well {well_id}: {problem}",
+                        SegmentationWarning,
+                        stacklevel=2,
+                    )
+                    tables[well_id] = None
+                    continue
+                table = self._results_to_table(
+                    props_h, intensity_h, channels, i, stack.shape[-2:]
+                )
                 tables[well_id] = table
                 self._record_well(manifest, well_id, table)
             timings["assemble_s"] += time.time() - t0

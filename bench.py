@@ -150,7 +150,7 @@ def main() -> None:
     def force(out):
         # A scalar readback forces program completion; block_until_ready
         # alone does not reliably block through tunneled TPU backends.
-        _, props, _ = out
+        props, _, _ = out
         return float(props["area"].ravel()[0])
 
     # warmup / compile
