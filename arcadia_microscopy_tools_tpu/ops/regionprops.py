@@ -349,14 +349,12 @@ def measure_compacted(
         nn, s_yy, s_xx, s_xy
     )
 
-    # bbox cols + intensity extrema: blockwise min/max over the compact set
+    # bbox cols + intensity extrema: blockwise min/max over the compact set.
+    # Padding slots carry segment id nseg, which matches no one-hot column,
+    # so one scan serves both min and max.
     mm_vals = jnp.concatenate([xv[None], chans], axis=0)  # (1 + C, cap)
-    mm_seg = jnp.where(valid_px, seg_ids, nseg - 1 + 1)  # padding -> dropped
-    big = jnp.float32(jnp.finfo(jnp.float32).max)
-    mm_vals = jnp.where(valid_px[None, :], mm_vals, big)
-    mins, _ = segment_minmax_blockwise(mm_vals, mm_seg, nseg, compute_max=False)
-    mm_vals_max = jnp.where(valid_px[None, :], jnp.concatenate([xv[None], chans], axis=0), -big)
-    _, maxs = segment_minmax_blockwise(mm_vals_max, mm_seg, nseg, compute_min=False)
+    mm_seg = jnp.where(valid_px, seg_ids, nseg)
+    mins, maxs = segment_minmax_blockwise(mm_vals, mm_seg, nseg)
     minc = jnp.where(area > 0, mins[0], 0.0)
     maxc = jnp.where(area > 0, maxs[0] + 1.0, 0.0)
 

@@ -71,6 +71,11 @@ class PlateRunConfig:
         measure_channel_indices: Channels to quantify per cell (None = all).
         min_size: Minimum object size in pixels (classical path cleanup and
             unet mask filter).
+        fg_cap_fraction: Static foreground-pixel capacity for the compacted
+            measurement path, as a fraction of the image area. Typical
+            fluorescence masks cover a few percent; wells that exceed the
+            capacity (or max_cells) are automatically re-dispatched with 4x
+            the capacity, up to 2 escalations, before being failed.
     """
 
     seg_channel_index: int = 0
@@ -87,7 +92,7 @@ class PlateRunConfig:
     cellprob_threshold: float = 0.0
     flow_threshold: float = 0.4
     niter: int = 200
-    fg_cap_fraction: float = 0.25
+    fg_cap_fraction: float = 0.0625
 
 
 class PlateResults:
@@ -283,14 +288,28 @@ class PlateRunner:
 
     # -- execution --------------------------------------------------------------------
 
-    def _get_compiled(self, n_channels: int, shape: tuple[int, int]):
-        key = (n_channels, shape)
+    def _get_compiled(
+        self, n_channels: int, shape: tuple[int, int], config: PlateRunConfig | None = None
+    ):
+        config = config or self.config
+        key = (n_channels, shape, config.fg_cap_fraction, config.max_cells)
         if key not in self._compiled:
-            well_fn = _build_well_program(self.config, n_channels, self.unet_params)
+            well_fn = _build_well_program(config, n_channels, self.unet_params)
             batched = jax.vmap(well_fn)
             sharding = well_sharding(self.mesh)
             self._compiled[key] = jax.jit(batched, in_shardings=(sharding,))
         return self._compiled[key]
+
+    def _escalated_config(self, level: int) -> PlateRunConfig:
+        """Capacity escalation for wells denser than the static defaults."""
+        from dataclasses import replace
+
+        factor = 4**level
+        return replace(
+            self.config,
+            fg_cap_fraction=min(1.0, self.config.fg_cap_fraction * factor),
+            max_cells=self.config.max_cells * factor,
+        )
 
     def _batch_size(self) -> int:
         if self.config.batch_size is not None:
@@ -348,27 +367,33 @@ class PlateRunner:
         return pd.DataFrame(data)
 
     def _well_health_problem(
-        self, health: dict[str, np.ndarray], well_index: int
-    ) -> str | None:
-        """Inspect the device-side health scalars for one well; a non-None
-        return is the warning text and the well is marked failed (the same
-        isolation contract as a decode error - no silent corruption)."""
+        self, health: dict[str, np.ndarray], well_index: int, config: PlateRunConfig
+    ) -> tuple[str, str] | None:
+        """Inspect the device-side health scalars for one well.
+
+        Returns None when the well is trustworthy, otherwise a
+        (kind, message) pair: kind "capacity" triggers an automatic
+        re-dispatch with escalated static capacities; kind "fatal" fails the
+        well with a SegmentationWarning (the same isolation contract as a
+        decode error - no silent corruption).
+        """
         n_comp = int(health["num_components"][well_index])
-        if n_comp > self.config.max_cells:
+        if n_comp > config.max_cells:
             return (
-                f"{n_comp} components exceed max_cells={self.config.max_cells}; "
-                f"re-run with a larger max_cells"
+                "capacity",
+                f"{n_comp} components exceed max_cells={config.max_cells}",
             )
         if bool(health["fg_overflow"][well_index]):
             return (
+                "capacity",
                 "foreground pixels exceed the compaction capacity "
-                f"(fg_cap_fraction={self.config.fg_cap_fraction}); re-run with a "
-                "larger fg_cap_fraction"
+                f"(fg_cap_fraction={config.fg_cap_fraction})",
             )
         if not bool(health["converged"][well_index]):
             return (
+                "fatal",
                 "connected-components labeling did not converge (pathological "
-                "component shapes); results would be unreliable"
+                "component shapes); results would be unreliable",
             )
         return None
 
@@ -433,28 +458,19 @@ class PlateRunner:
 
             iterator = get_tqdm()(batches, desc="Plate")
 
-        for batch_ids in iterator:
-            images: list[np.ndarray] = []
-            ok_ids: list[str] = []
-            for well_id in batch_ids:
-                img = fetch(well_id)
-                if img is None:
-                    tables[well_id] = None
-                else:
-                    images.append(img)
-                    ok_ids.append(well_id)
-            if not images:
-                continue
-
-            # pad the final partial batch to the full batch size so one
-            # compiled program serves the whole plate
+        def dispatch(
+            images: list[np.ndarray],
+            ok_ids: list[str],
+            config: PlateRunConfig,
+            retry: dict[str, np.ndarray],
+            retryable: bool,
+        ) -> None:
+            """One padded device dispatch; fills `tables` / `retry`."""
             n_real = len(images)
-            while len(images) < batch_size:
-                images.append(images[-1])
-
+            images = images + [images[-1]] * (batch_size - n_real)
             stack = np.stack(images)
             n_channels = stack.shape[1]
-            program = self._get_compiled(n_channels, stack.shape[-2:])
+            program = self._get_compiled(n_channels, stack.shape[-2:], config)
 
             t0 = time.time()
             try:
@@ -468,7 +484,7 @@ class PlateRunner:
                 )
                 for well_id in ok_ids:
                     tables[well_id] = None
-                continue
+                return
             timings["device_s"] += time.time() - t0
 
             t0 = time.time()
@@ -479,10 +495,14 @@ class PlateRunner:
             }
             health_h = {k: np.asarray(v) for k, v in health.items()}
             for i, well_id in enumerate(ok_ids[:n_real]):
-                problem = self._well_health_problem(health_h, i)
+                problem = self._well_health_problem(health_h, i, config)
                 if problem is not None:
+                    kind, message = problem
+                    if kind == "capacity" and retryable:
+                        retry[well_id] = images[i]
+                        continue
                     warnings.warn(
-                        f"Well {well_id}: {problem}",
+                        f"Well {well_id}: {message}",
                         SegmentationWarning,
                         stacklevel=2,
                     )
@@ -494,5 +514,33 @@ class PlateRunner:
                 tables[well_id] = table
                 self._record_well(manifest, well_id, table)
             timings["assemble_s"] += time.time() - t0
+
+        retry: dict[str, np.ndarray] = {}
+        for batch_ids in iterator:
+            images: list[np.ndarray] = []
+            ok_ids: list[str] = []
+            for well_id in batch_ids:
+                img = fetch(well_id)
+                if img is None:
+                    tables[well_id] = None
+                else:
+                    images.append(img)
+                    ok_ids.append(well_id)
+            if images:
+                dispatch(images, ok_ids, self.config, retry, retryable=True)
+
+        # capacity escalation: re-dispatch dense wells with 4x / 16x the
+        # static foreground + cell capacities before giving up on them
+        for level in (1, 2):
+            if not retry:
+                break
+            esc = self._escalated_config(level)
+            current, retry = retry, {}
+            ids = list(current)
+            for i in range(0, len(ids), batch_size):
+                bids = ids[i : i + batch_size]
+                dispatch(
+                    [current[w] for w in bids], bids, esc, retry, retryable=level < 2
+                )
 
         return PlateResults(tables, timings)

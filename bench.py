@@ -125,7 +125,7 @@ def main() -> None:
         )
         return
 
-    B = int(os.environ.get("BENCH_BATCH", "4"))
+    B = int(os.environ.get("BENCH_BATCH", "8"))
     H = W = int(os.environ.get("BENCH_SIZE", "2048"))
     C = 4
     reps = int(os.environ.get("BENCH_REPS", "5"))

@@ -195,6 +195,32 @@ class TestPlateRunner:
             pd2 = results2.tables[w].reset_index(drop=True)
             np.testing.assert_allclose(pd1["area"], pd2["area"])
 
+    def test_capacity_autoretry(self, rng):
+        """Wells denser than max_cells / fg_cap_fraction are re-dispatched
+        with escalated capacities instead of silently corrupting the last
+        measurement slot (round-1 advisor finding)."""
+        layout = self._layout(2)
+        wells = {w: synth_well(rng, n_cells=12) for w in layout.well_ids}
+        runner = PlateRunner(
+            PlateRunConfig(max_cells=4, min_size=20, fg_cap_fraction=0.0002)
+        )
+        results = runner.run(layout, wells)
+        assert not results.failed_wells
+        for w in layout.well_ids:
+            assert len(results.tables[w]) >= 10  # all 12 blobs measured
+            # no slot absorbed several cells' pixels
+            assert results.tables[w]["area"].max() < 2000
+
+    def test_capacity_exhausted_warns(self, rng):
+        """A well denser than the final escalation fails loudly."""
+        layout = self._layout(1)
+        wells = {w: synth_well(rng, size=256, n_cells=20) for w in layout.well_ids}
+        # 20 components > max_cells 1 even after 4x and 16x escalation
+        runner = PlateRunner(PlateRunConfig(max_cells=1, min_size=20))
+        with pytest.warns(SegmentationWarning, match="exceed max_cells"):
+            results = runner.run(layout, wells)
+        assert results.failed_wells == list(layout.well_ids)
+
     def test_partial_batch_padding(self, rng):
         # 5 wells with an 8-wide mesh: final batch is padded internally
         layout = self._layout(5)
