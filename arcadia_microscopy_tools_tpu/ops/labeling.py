@@ -490,22 +490,21 @@ def relabel_sequential(label_image: jax.Array) -> jax.Array:
     """Relabel an integer label image to consecutive labels 1..N.
 
     Preserves the ascending order of the original label values
-    (`skimage.segmentation.relabel_sequential` semantics). The lookup table is
-    sized by the maximum representable label in the image area, so shapes stay
-    static under jit.
+    (`skimage.segmentation.relabel_sequential` semantics). Implemented as a
+    sort-based rank: one (value, position) sort, first-occurrence cumsum,
+    scatter back - so label magnitudes far above the pixel count (e.g.
+    tracking ids) relabel exactly, with no value-range table. Values must fit
+    the array dtype after JAX canonicalization (int32 when x64 is disabled).
     """
-    lbl = jnp.asarray(label_image).astype(jnp.int32)
-    n = lbl.size
+    lbl = jnp.asarray(label_image)
     flat = lbl.ravel()
-    # presence table over [0, n]; labels sparser than the pixel count cannot
-    # occur for microscopy masks (clamped for safety)
-    cap = n + 1
-    clamped = jnp.minimum(flat, cap)
-    present = jnp.zeros(cap + 1, dtype=bool).at[clamped].set(True)
-    present = present.at[0].set(False)
-    ranks = jnp.cumsum(present.astype(jnp.int32))
-    mapping = jnp.where(present, ranks, 0)
-    return mapping[clamped].reshape(lbl.shape)
+    n = flat.size
+    s, pos = lax.sort((flat, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    first = jnp.ones((1,), bool)
+    is_new = jnp.concatenate([first, s[1:] != s[:-1]]) & (s > 0)
+    ranks = jnp.where(s > 0, jnp.cumsum(is_new.astype(jnp.int32)), 0)
+    out = jnp.zeros((n,), jnp.int32).at[pos].set(ranks)
+    return out.reshape(lbl.shape)
 
 
 @jax.jit

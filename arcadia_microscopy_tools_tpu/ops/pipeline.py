@@ -189,14 +189,33 @@ class Pipeline:
             )
 
         is_host_input = isinstance(intensities, np.ndarray)
-        fold = _compiled_fold(tuple(self.operations), self.parallel, self.preserve_dtype)
+        try:
+            fold = _compiled_fold(
+                tuple(self.operations), self.parallel, self.preserve_dtype
+            )
+        except TypeError:
+            # unhashable operation config (e.g. an ndarray kernel argument):
+            # build the jitted fold without the cache
+            fold = _compiled_fold.__wrapped__(
+                tuple(self.operations), self.parallel, self.preserve_dtype
+            )
 
         try:
             result = fold(jnp.asarray(intensities))
-        except jax.errors.TracerArrayConversionError:
-            # An operation is not traceable (e.g. wraps host-only code):
-            # fall back to eager per-op execution with the same semantics.
-            result = self._apply_operations(np.asarray(intensities))
+        except (
+            jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError,
+        ):
+            # An operation is not traceable - it converts traced values to
+            # host arrays, or branches on data (Tracer{Bool,Integer}Conversion
+            # errors are ConcretizationTypeError subclasses): fall back to
+            # eager per-op execution with the same semantics (per-frame when
+            # parallel, matching the reference's thread map over axis 0).
+            host = np.asarray(intensities)
+            if self.parallel:
+                result = np.stack([self._apply_operations(f) for f in host])
+            else:
+                result = self._apply_operations(host)
             if self.preserve_dtype and result.dtype != intensities.dtype:
                 result = result.astype(intensities.dtype)
             return result

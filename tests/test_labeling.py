@@ -121,3 +121,17 @@ class TestRelabelSequential:
         lbl[1, 1] = 1
         lbl[4, 4] = 2
         np.testing.assert_array_equal(np.asarray(relabel_sequential(lbl)), lbl)
+
+    def test_labels_far_above_pixel_count(self):
+        """Arbitrary label magnitudes (e.g. global tracking ids) relabel
+        exactly - they must not clamp into one cell (round-1 advisory)."""
+        lbl = np.zeros((64, 64), dtype=np.int64)
+        lbl[2:6, 2:6] = 5000
+        lbl[20:24, 20:24] = 6000
+        lbl[40:44, 40:44] = 2**30  # far beyond any pixel-count table
+        out = np.asarray(relabel_sequential(lbl))
+        assert out[3, 3] == 1
+        assert out[21, 21] == 2
+        assert out[41, 41] == 3
+        assert out.max() == 3
+        assert (out[lbl == 0] == 0).all()

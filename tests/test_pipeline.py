@@ -145,6 +145,43 @@ class TestPipelineExecution:
         assert isinstance(out, jax.Array)
         assert out.dtype == jnp.float32
 
+    def test_unhashable_operation_args(self, image):
+        """ndarray op arguments (unhashable) bypass the fold cache instead of
+        raising TypeError (round-1 advisory)."""
+        import jax.numpy as jnp
+
+        def scale_by(x, factors):
+            return x * jnp.asarray(factors, dtype=jnp.float32).mean()
+
+        pipe = Pipeline([ImageOperation(scale_by, np.array([2.0, 4.0]))])
+        out = pipe(image.astype(np.float32))
+        np.testing.assert_allclose(out, image * 3.0, rtol=1e-6)
+
+    def test_eager_fallback_on_data_dependent_python(self, image):
+        """Reference-style numpy ops with Python control flow on array values
+        fall back to eager execution instead of crashing (round-1 advisory)."""
+
+        def host_op(x):
+            if x.max() > 0:  # data-dependent Python branch
+                return np.asarray(x) / float(np.asarray(x).max())
+            return np.asarray(x)
+
+        pipe = Pipeline([ImageOperation(host_op)])
+        out = pipe(image)
+        assert float(np.max(out)) == 1.0
+
+    def test_eager_fallback_parallel_per_frame(self, stack):
+        """The eager fallback honors parallel's per-frame semantics."""
+
+        def host_norm(x):
+            mx = float(np.asarray(x).max())  # forces concretization
+            return np.asarray(x, dtype=np.float64) / (mx if mx else 1.0)
+
+        pipe = Pipeline([ImageOperation(host_norm)], parallel=True)
+        out = pipe(stack)
+        expected = np.stack([host_norm(f) for f in stack])
+        np.testing.assert_allclose(out, expected)
+
     def test_pipeline_is_jittable_inside_larger_program(self, image):
         """The whole pipeline can be embedded in a user's own jitted function."""
         import jax
