@@ -88,6 +88,32 @@ def _segment_program(
     )
 
 
+@partial(jax.jit, static_argnames=("niter", "max_cells", "min_size", "flow_threshold"))
+def _segment_program_batch(
+    params,
+    images,  # (B, H, W, 3) float32, already normalized and padded
+    cellprob_threshold,
+    flow_threshold: float,
+    niter: int,
+    max_cells: int,
+    min_size: int,
+):
+    """Batched fused program: the whole batch is ONE device dispatch (forward
+    + flow tracking + QC vmapped over images) - the reference's serial
+    per-image loop (model.py:276-288) is the inefficiency this replaces."""
+    out = apply_unet(params, images)
+    return jax.vmap(
+        lambda o: compute_masks(
+            o,
+            cellprob_threshold=cellprob_threshold,
+            flow_threshold=flow_threshold,
+            niter=niter,
+            max_cells=max_cells,
+            min_size=min_size,
+        )
+    )(out)
+
+
 @dataclass
 class SegmentationModel:
     """U-Net segmentation wrapper for high-throughput cell segmentation.
@@ -279,24 +305,47 @@ class SegmentationModel:
         """Run cell segmentation on multiple images.
 
         All images are processed with the same parameters, resolved and
-        validated once. Each image is processed independently; failures emit
-        a SegmentationWarning and a None placeholder while the batch
-        continues (index alignment preserved - reference model.py:276-288).
+        validated once. Same-shape images are stacked into device batches of
+        `batch_size` and dispatched as ONE fused vmapped program (the
+        reference loops serially per image even on GPU, model.py:276-288).
+        Failure isolation is preserved: a failed batch falls back to
+        per-image dispatch, and each failing image emits a
+        SegmentationWarning and a None placeholder while the rest of the
+        batch continues (index alignment preserved).
         """
         resolved = self._resolve_and_validate_parameters(
             cell_diameter_px, flow_threshold, cellprob_threshold, num_iterations, batch_size
         )
-
-        masks: list[Int64Array | None] = []
-        iterator = enumerate(intensities_batch)
-        if show_progress:
-            tqdm = get_tqdm()
-            iterator = tqdm(iterator, total=len(intensities_batch), desc="Segmenting")
-
         niter = self._resolve_niter(resolved)
-        for i, intensities in iterator:
+        bs = max(1, int(resolved["batch_size"]))
+
+        n_total = len(intensities_batch)
+        masks: list[Int64Array | None] = [None] * n_total
+
+        progress = None
+        if show_progress:
+            progress = get_tqdm()(total=n_total, desc="Segmenting")
+
+        def fail(i: int, e: Exception) -> None:
+            warnings.warn(
+                f"Segmentation failed on image {i}: {e}",
+                SegmentationWarning,
+                stacklevel=3,
+            )
+
+        # host prep first; group same-padded-shape images into device batches
+        prepared: dict[tuple[int, int], list[tuple[int, Any, tuple[int, int]]]] = {}
+        for i, intensities in enumerate(intensities_batch):
             try:
                 image, (h, w) = self._prepare_image(np.asarray(intensities))
+                prepared.setdefault(tuple(image.shape[:2]), []).append((i, image, (h, w)))
+            except Exception as e:  # noqa: BLE001
+                fail(i, e)
+                if progress is not None:
+                    progress.update(1)
+
+        def run_single(i, image, hw):
+            try:
                 labels = _segment_program(
                     self.network,
                     image,
@@ -306,13 +355,39 @@ class SegmentationModel:
                     self.max_cells,
                     self.min_size,
                 )
-                masks.append(np.asarray(labels[:h, :w]).astype(np.int64))
+                h, w = hw
+                masks[i] = np.asarray(labels[:h, :w]).astype(np.int64)
             except Exception as e:  # noqa: BLE001
-                warnings.warn(
-                    f"Segmentation failed on image {i}: {e}",
-                    SegmentationWarning,
-                    stacklevel=2,
-                )
-                masks.append(None)
+                fail(i, e)
 
+        for group in prepared.values():
+            for start in range(0, len(group), bs):
+                chunk = group[start : start + bs]
+                stack = jnp.stack(
+                    [img for _, img, _ in chunk]
+                    + [chunk[-1][1]] * (bs - len(chunk))
+                )
+                try:
+                    labels = _segment_program_batch(
+                        self.network,
+                        stack,
+                        jnp.float32(resolved["cellprob_threshold"]),
+                        float(resolved["flow_threshold"]),
+                        niter,
+                        self.max_cells,
+                        self.min_size,
+                    )
+                    labels_h = np.asarray(labels)
+                    for k, (i, _, (h, w)) in enumerate(chunk):
+                        masks[i] = labels_h[k, :h, :w].astype(np.int64)
+                except Exception as e:  # noqa: BLE001
+                    # isolate: retry images of the failed batch one by one
+                    logger.debug(f"Batched dispatch failed ({e}); isolating per image")
+                    for i, img, hw in chunk:
+                        run_single(i, img, hw)
+                if progress is not None:
+                    progress.update(len(chunk))
+
+        if progress is not None:
+            progress.close()
         return masks

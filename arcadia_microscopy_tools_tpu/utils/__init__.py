@@ -49,8 +49,18 @@ def get_tqdm():
         return _fallback_tqdm
 
 
+class _FallbackProgress:
+    """Counter-style progress object (tqdm's total/update/close protocol)."""
+
+    def update(self, n: int = 1) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def _fallback_tqdm(iterable=None, **_kwargs):
     """Minimal stand-in used when tqdm is unavailable."""
     if iterable is None:
-        return lambda x: x
+        return _FallbackProgress()
     return iterable

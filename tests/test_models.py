@@ -213,6 +213,28 @@ class TestSegmentationModelAPI:
         assert out[2] is not None
         assert len(out) == 3
 
+    def test_batch_segment_matches_single(self, rng):
+        """Device-batched dispatch produces exactly the per-image results."""
+        model = SegmentationModel(seed=0, max_cells=64)
+        imgs = [(rng.random((48, 48)) * 1000).astype(np.float64) for _ in range(3)]
+        batched = model.batch_segment(
+            imgs, num_iterations=10, batch_size=3, show_progress=False
+        )
+        singles = [model.segment(im, num_iterations=10) for im in imgs]
+        for b, s in zip(batched, singles):
+            np.testing.assert_array_equal(b, s)
+
+    def test_batch_segment_mixed_shapes(self, rng):
+        """Images of different shapes are grouped and all segmented."""
+        model = SegmentationModel(seed=0, max_cells=64)
+        imgs = [
+            (rng.random((48, 48)) * 1000).astype(np.float64),
+            (rng.random((64, 48)) * 1000).astype(np.float64),
+            (rng.random((48, 48)) * 1000).astype(np.float64),
+        ]
+        out = model.batch_segment(imgs, num_iterations=10, show_progress=False)
+        assert [m.shape for m in out] == [(48, 48), (64, 48), (48, 48)]
+
     def test_batch_segment_param_validation_once(self, rng):
         model = SegmentationModel(seed=0)
         with pytest.raises(ValueError, match="must be positive"):
