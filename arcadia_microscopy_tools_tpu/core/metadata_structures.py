@@ -1,49 +1,48 @@
-"""Structured instrument metadata.
+"""Typed building blocks for instrument metadata.
 
-Same contracts as the reference (`src/arcadia_microscopy_tools/
-metadata_structures.py:14-141`): dimension bit-flags, dimension-conditional
-required fields via dataclass field metadata, and the per-channel metadata
-aggregate that validates its sub-structures eagerly.
+Every loaded image carries, per channel, a tree of small frozen-ish records:
+which axes exist (`DimensionFlags`), the nominal grid geometry
+(`NominalDimensions`), the per-frame coordinates the hardware actually
+reported (`MeasuredDimensions`), exposure/scan settings
+(`AcquisitionSettings`), and the optical train (`MicroscopeConfig`) - all
+aggregated by `ChannelMetadata`.
+
+The field inventory and names are a public contract shared with the reference
+library (`src/arcadia_microscopy_tools/metadata_structures.py:34-141`) and
+are pinned by the golden-metadata tests. Validation works differently here:
+instead of per-field dataclass metadata walked by a mixin, each record
+declares a single CONDITIONAL table mapping "axis flag" -> "fields that must
+be populated when that axis exists", and `_check_required` enforces it. The
+outcome is identical (a ValueError naming the missing field and the flag)
+with one obvious place to read the requirements per class.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime
 from enum import Flag, auto
-from typing import TYPE_CHECKING, Any
 
-from .channels import Channel
 from ..typing import Float64Array
+from .channels import Channel
 
-if TYPE_CHECKING:
-    from dataclasses import Field
-
-
-def dimension_field(dimension: DimensionFlags, default: Any = None) -> Any:
-    """Create a field that's required for a specific dimension."""
-    return field(default=default, metadata={"requires_dimension": dimension})
-
-
-class DimensionValidatorMixin:
-    """Mixin that provides dimension-based field validation for dataclasses."""
-
-    if TYPE_CHECKING:
-        __dataclass_fields__: dict[str, Field[Any]]
-
-    def validate(self, dimensions: DimensionFlags) -> None:
-        """Validate that required fields are present for the given dimensions."""
-        for field_info in self.__dataclass_fields__.values():
-            required_dimension = field_info.metadata.get("requires_dimension")
-            if required_dimension and (dimensions & required_dimension):
-                if getattr(self, field_info.name) is None:
-                    raise ValueError(
-                        f"{field_info.name} is required for {required_dimension.name}"
-                    )
+__all__ = [
+    "DimensionFlags",
+    "NominalDimensions",
+    "MeasuredDimensions",
+    "AcquisitionSettings",
+    "MicroscopeConfig",
+    "ChannelMetadata",
+]
 
 
 class DimensionFlags(Flag):
-    """Bit flags for what dimensions are present."""
+    """Which acquisition axes an image has, as OR-able bits.
+
+    A plain 2-D frame is `SPATIAL_2D` (no bits set); every extra axis the
+    file declares sets one bit. Parsers OR these together and downstream
+    code asks questions through the `is_*` predicates.
+    """
 
     SPATIAL_2D = 0
     MULTICHANNEL = auto()
@@ -55,99 +54,152 @@ class DimensionFlags(Flag):
 
     @property
     def is_multichannel(self) -> bool:
-        return bool(self & DimensionFlags.MULTICHANNEL)
+        return DimensionFlags.MULTICHANNEL in self
 
     @property
     def is_zstack(self) -> bool:
-        return bool(self & DimensionFlags.Z_STACK)
+        return DimensionFlags.Z_STACK in self
 
     @property
     def is_timelapse(self) -> bool:
-        return bool(self & DimensionFlags.TIMELAPSE)
+        return DimensionFlags.TIMELAPSE in self
 
     @property
     def is_spectral(self) -> bool:
-        return bool(self & DimensionFlags.SPECTRAL)
+        return DimensionFlags.SPECTRAL in self
 
     @property
     def is_rgb(self) -> bool:
-        return bool(self & DimensionFlags.RGB)
+        return DimensionFlags.RGB in self
 
     @property
     def is_montage(self) -> bool:
-        return bool(self & DimensionFlags.MONTAGE)
+        return DimensionFlags.MONTAGE in self
+
+
+def _check_required(
+    record: object,
+    conditional: dict[DimensionFlags, tuple[str, ...]],
+    dimensions: DimensionFlags,
+) -> None:
+    """Raise if an axis flag is set but a field it requires is missing."""
+    for flag, names in conditional.items():
+        if not (dimensions & flag):
+            continue
+        for name in names:
+            if getattr(record, name) is None:
+                raise ValueError(f"{name} is required for {flag.name}")
 
 
 @dataclass
-class NominalDimensions(DimensionValidatorMixin):
-    """Nominal values for the physical dimensions of the imaging volume."""
+class NominalDimensions:
+    """Declared grid geometry: axis extents plus the intended step sizes.
 
-    x_size_px: int
-    y_size_px: int
-    xy_step_um: float
-    z_size_px: int | None = dimension_field(DimensionFlags.Z_STACK)
-    z_step_um: float | None = dimension_field(DimensionFlags.Z_STACK)
-    t_size_px: int | None = dimension_field(DimensionFlags.TIMELAPSE)
-    t_step_ms: float | None = dimension_field(DimensionFlags.TIMELAPSE)
-    w_size_px: int | None = dimension_field(DimensionFlags.SPECTRAL)
-    w_step_nm: float | None = dimension_field(DimensionFlags.SPECTRAL)
-
-
-@dataclass
-class MeasuredDimensions(DimensionValidatorMixin):
-    """Actual measured coordinate values for each dimension.
-
-    These represent the actual values recorded during acquisition, which may
-    differ from nominal spacing due to hardware, timing jitter, or intentional
-    non-uniform sampling.
+    X/Y are always present; the optional axes carry a (size, step) pair each
+    and are mandatory exactly when the matching `DimensionFlags` bit is set.
     """
 
-    x_values_um: Float64Array | None = dimension_field(DimensionFlags.MONTAGE)
-    y_values_um: Float64Array | None = dimension_field(DimensionFlags.MONTAGE)
-    z_values_um: Float64Array | None = dimension_field(DimensionFlags.Z_STACK)
-    t_values_ms: Float64Array | None = dimension_field(DimensionFlags.TIMELAPSE)
-    w_values_nm: Float64Array | None = dimension_field(DimensionFlags.SPECTRAL)
+    # fields conditionally required, keyed by the axis flag that demands them
+    _CONDITIONAL = {
+        DimensionFlags.Z_STACK: ("z_size_px", "z_step_um"),
+        DimensionFlags.TIMELAPSE: ("t_size_px", "t_step_ms"),
+        DimensionFlags.SPECTRAL: ("w_size_px", "w_step_nm"),
+    }
+
+    x_size_px: int  # frame width, pixels
+    y_size_px: int  # frame height, pixels
+    xy_step_um: float  # lateral pixel pitch, micrometers
+    z_size_px: int | None = None  # focal planes per stack
+    z_step_um: float | None = None  # focus step, micrometers
+    t_size_px: int | None = None  # frames per timelapse
+    t_step_ms: float | None = None  # frame interval, milliseconds
+    w_size_px: int | None = None  # spectral sampling points
+    w_step_nm: float | None = None  # spectral step, nanometers
+
+    def validate(self, dimensions: DimensionFlags) -> None:
+        """Check that every axis in `dimensions` has its geometry filled in."""
+        _check_required(self, self._CONDITIONAL, dimensions)
 
 
 @dataclass
-class AcquisitionSettings(DimensionValidatorMixin):
-    """Acquisition parameters for image capture."""
+class MeasuredDimensions:
+    """Per-frame coordinates as the hardware actually recorded them.
 
-    exposure_time_s: float | None = None
-    zoom: float | None = None
-    binning: str | None = None
-    pixel_dwell_time_us: float | None = None
-    line_scan_speed_hz: float | None = None
-    line_averaging: int | None = None
-    line_accumulation: int | None = None
-    frame_averaging: int | None = None
-    frame_accumulation: int | None = None
+    Stage drift, focus jitter, and deliberately non-uniform sampling all make
+    the true coordinates differ from the nominal step grid; these arrays are
+    the ground truth when they exist.
+    """
+
+    _CONDITIONAL = {
+        DimensionFlags.MONTAGE: ("x_values_um", "y_values_um"),
+        DimensionFlags.Z_STACK: ("z_values_um",),
+        DimensionFlags.TIMELAPSE: ("t_values_ms",),
+        DimensionFlags.SPECTRAL: ("w_values_nm",),
+    }
+
+    x_values_um: Float64Array | None = None  # stage X per tile (montages)
+    y_values_um: Float64Array | None = None  # stage Y per tile (montages)
+    z_values_um: Float64Array | None = None  # focus position per plane
+    t_values_ms: Float64Array | None = None  # wall-clock time per frame
+    w_values_nm: Float64Array | None = None  # wavelength per spectral step
+
+    def validate(self, dimensions: DimensionFlags) -> None:
+        """Check that every axis in `dimensions` has its coordinates."""
+        _check_required(self, self._CONDITIONAL, dimensions)
+
+
+@dataclass
+class AcquisitionSettings:
+    """Detector and scan settings for one channel's capture.
+
+    Camera systems populate exposure/binning; point scanners populate dwell
+    time, line rate, and the averaging/accumulation counters. Everything is
+    optional - parsers fill in what the file format records.
+    """
+
+    exposure_time_s: float | None = None  # camera integration time
+    zoom: float | None = None  # scanner digital zoom factor
+    binning: str | None = None  # camera pixel binning, e.g. "2x2"
+    pixel_dwell_time_us: float | None = None  # scanner time per pixel
+    line_scan_speed_hz: float | None = None  # scan line rate
+    line_averaging: int | None = None  # lines averaged per scan line
+    line_accumulation: int | None = None  # lines summed per scan line
+    frame_averaging: int | None = None  # frames averaged per image
+    frame_accumulation: int | None = None  # frames summed per image
+
+    def validate(self, dimensions: DimensionFlags) -> None:
+        """No settings are axis-conditional; present for interface symmetry."""
 
 
 @dataclass
 class MicroscopeConfig:
-    """Microscope optical configuration and settings."""
+    """The optical train: objective magnification/NA and the illumination."""
 
-    magnification: int
-    numerical_aperture: float
-    objective: str | None = None
-    light_source: str | None = None
-    power_mw: float | None = None
+    magnification: int  # objective magnification, e.g. 20
+    numerical_aperture: float  # objective NA
+    objective: str | None = None  # full objective description string
+    light_source: str | None = None  # laser / lamp identity
+    power_mw: float | None = None  # illumination power at the sample
 
 
 @dataclass
 class ChannelMetadata:
-    """Metadata for a microscopy channel."""
+    """Everything known about one acquired channel, validated on construction.
 
-    channel: Channel
-    timestamp: datetime
-    dimensions: DimensionFlags
-    resolution: NominalDimensions
-    measured: MeasuredDimensions
-    acquisition: AcquisitionSettings
-    optics: MicroscopeConfig
+    Aggregates the channel identity, acquisition timestamp, axis flags, and
+    the four sub-records; `__post_init__` immediately cross-checks the
+    geometry records against the axis flags so a half-parsed file fails
+    loudly at load time rather than deep inside analysis code.
+    """
+
+    channel: Channel  # identity + display color + ex/em wavelengths
+    timestamp: datetime  # acquisition start
+    dimensions: DimensionFlags  # which axes exist
+    resolution: NominalDimensions  # nominal grid geometry
+    measured: MeasuredDimensions  # recorded per-frame coordinates
+    acquisition: AcquisitionSettings  # detector / scan settings
+    optics: MicroscopeConfig  # objective and illumination
 
     def __post_init__(self) -> None:
-        """Validate all sub-components against dimension flags."""
         self.resolution.validate(self.dimensions)
         self.measured.validate(self.dimensions)

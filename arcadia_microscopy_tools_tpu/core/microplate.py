@@ -1,13 +1,19 @@
 """High-content-screening plate layouts.
 
-Host-side metadata structures (reference: `src/arcadia_microscopy_tools/
-microplate.py:10-251`): well-ID normalization ("a1" -> "A01"), duplicate
-detection, CSV round-trip, and a pivot-grid display. The plate runner in
-`parallel.plate` consumes these layouts to schedule sharded device work.
+Host-side bookkeeping for plate experiments: a `Well` knows its normalized
+position ("a1" and "A01" are the same well) plus whatever sample annotations
+the experimenter attached, and a `MicroplateLayout` is a validated collection
+of wells with dict-style access, CSV round-trip, and a text grid renderer.
+The plate runner (`parallel.plate`) schedules device work off `well_ids`.
+
+API/behavior parity with the reference library's plate module
+(`src/arcadia_microscopy_tools/microplate.py:10-251`), re-implemented here
+around one shared `normalize_well_id` parser.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -15,220 +21,192 @@ from typing import Any
 
 import pandas as pd
 
+__all__ = ["Well", "MicroplateLayout", "normalize_well_id"]
+
+# rows A-Z x columns 1-48 covers every SBS plate up to 3456 wells
+_MAX_COLUMN = 48
+_ID_PATTERN = re.compile(r"^([A-Za-z])(\d+)$")
+
+
+def normalize_well_id(well_id: str) -> str:
+    """Parse a well identifier and return its canonical "A01" form.
+
+    Accepts any case and any zero padding ("a1", "A1", "A01" are all well
+    A01). Raises ValueError for anything that is not one row letter followed
+    by a column number within the plate bounds.
+    """
+    if not well_id or len(well_id) < 2:
+        raise ValueError("Well ID must be at least 2 characters (e.g., 'A1' or 'A01')")
+
+    match = _ID_PATTERN.match(well_id)
+    if match is None:
+        first = well_id[0].upper()
+        if not first.isalpha() or not first.isascii():
+            raise ValueError(f"Row must be A-Z, got '{first}'")
+        raise ValueError(f"Could not parse column number from '{well_id}'")
+
+    row_letter = match.group(1).upper()
+    column = int(match.group(2))
+    if not 1 <= column <= _MAX_COLUMN:
+        raise ValueError(f"Column must be 1-{_MAX_COLUMN}, got {column}")
+    return f"{row_letter}{column:02d}"
+
 
 @dataclass(frozen=True)
 class Well:
-    """Represents a single well in a microplate.
+    """One plate well: canonical position plus sample annotations.
 
     Attributes:
-        id: Well identifier (e.g., "A01", "B12").
-        sample: Sample identifier or name in this well.
-        properties: Additional metadata or properties for this well.
+        id: Position identifier; normalized to "A01" form on construction.
+        sample: What was plated in this well (free text, "" if unannotated).
+        properties: Any further experimenter-supplied key/value annotations
+            (dose, timepoint, replicate, ...).
     """
 
-    id: str
-    sample: str = ""
-    properties: dict[str, Any] = field(default_factory=dict)
+    id: str  # canonical "A01"-form position
+    sample: str = ""  # free-text sample annotation
+    properties: dict[str, Any] = field(default_factory=dict)  # extra annotations
 
     def __post_init__(self) -> None:
-        """Validate and normalize the well ID."""
-        if not self.id or len(self.id) < 2:
-            raise ValueError("Well ID must be at least 2 characters (e.g., 'A1' or 'A01')")
-
-        row = self.id[0].upper()
-        if not "A" <= row <= "Z":
-            raise ValueError(f"Row must be A-Z, got '{row}'")
-
-        try:
-            column = int(self.id[1:])
-        except ValueError as e:
-            raise ValueError(f"Could not parse column number from '{self.id}'") from e
-
-        # Support up to 48 columns (3456-well plates)
-        if not 1 <= column <= 48:
-            raise ValueError(f"Column must be 1-48, got {column}")
-
-        # Normalize to capital letter, zero-padded format (a1 -> A01)
-        normalized = f"{row}{column:02d}"
-        if normalized != self.id:
-            object.__setattr__(self, "id", normalized)
+        canonical = normalize_well_id(self.id)
+        if canonical != self.id:
+            object.__setattr__(self, "id", canonical)
 
     @property
     def row(self) -> str:
-        """Extract row letter from well ID."""
-        return self.id[0]
+        """The row letter ("A" for well A01)."""
+        return self.id[:1]
 
     @property
     def column(self) -> int:
-        """Extract column number from well ID."""
-        return int(self.id[1:])
+        """The column number (1 for well A01)."""
+        return int(self.id[1:], 10)
 
     def __str__(self) -> str:
         return self.id
 
     def __repr__(self) -> str:
-        props = f", properties={self.properties!r}" if self.properties else ""
-        return f"Well(id='{self.id}', sample='{self.sample}'{props})"
+        extras = f", properties={self.properties!r}" if self.properties else ""
+        return f"Well(id='{self.id}', sample='{self.sample}'{extras})"
 
     @classmethod
     def from_dict(cls, data: dict[str, Any]) -> Well:
-        """Create a Well from a dictionary (e.g., from CSV row).
+        """Build a Well from one CSV-style record.
 
-        Args:
-            data: Dictionary containing 'well_id' key and optional 'sample' and
-                property keys. CSV files should have a 'well_id' column.
-
-        Returns:
-            Well instance created from the dictionary.
-
-        Raises:
-            ValueError: If 'well_id' key is missing from the dictionary or is
-                not a string.
+        The record must carry a string under "well_id"; "sample" is optional
+        and every remaining key lands in `properties`.
         """
         if "well_id" not in data:
-            raise ValueError("Dictionary must contain 'well_id' key")
+            raise ValueError("Dictionary must contain 'well_id' key")  # CSV contract
+        raw_id = data["well_id"]
+        if not isinstance(raw_id, str):
+            raise ValueError(f"well_id must be a string, got {type(raw_id).__name__}")
 
-        well_id = data["well_id"]
-        if not isinstance(well_id, str):
-            raise ValueError(f"well_id must be a string, got {type(well_id).__name__}")
-
-        sample = data.get("sample", "")
-        properties = {k: v for k, v in data.items() if k not in ("well_id", "sample")}
-
-        return cls(well_id, sample, properties)
+        annotations = {
+            key: value for key, value in data.items() if key not in ("well_id", "sample")
+        }
+        return cls(raw_id, data.get("sample", ""), annotations)
 
 
 @dataclass(frozen=True)
 class MicroplateLayout:
-    """Representation of a microwell plate layout.
+    """A validated set of wells with dict-style lookup by (fuzzy) well ID.
+
+    Construction rejects duplicate positions; lookups normalize their
+    argument first, so `layout["a1"]` finds well A01.
 
     Args:
-        wells: Sequence of Well objects (converted to dict internally for
-            efficient lookup).
+        wells: The Well objects making up the plate.
     """
 
-    wells: Sequence[Well]
-    _layout: dict[str, Well] = field(init=False, repr=False)
+    wells: Sequence[Well]  # as provided at construction
+    _layout: dict[str, Well] = field(init=False, repr=False)  # canonical-id index
 
     def __post_init__(self) -> None:
-        """Build internal dict from wells and validate for duplicates."""
-        well_dict: dict[str, Well] = {}
+        by_id: dict[str, Well] = {}
         for well in self.wells:
-            if well.id in well_dict:
+            if well.id in by_id:
                 raise ValueError(f"Duplicate well ID: '{well.id}'")
-            well_dict[well.id] = well
-
-        object.__setattr__(self, "_layout", well_dict)
+            by_id[well.id] = well
+        object.__setattr__(self, "_layout", by_id)
 
     @property
     def layout(self) -> dict[str, Well]:
-        """Return the mapping of well IDs to Well objects."""
-        return self._layout
+        """Mapping from canonical well ID to Well."""
+        return self._layout  # built once in __post_init__
 
     @property
     def rows(self) -> list[str]:
-        """Unique rows in the plate layout."""
-        return sorted({well.row for well in self.layout.values()})
+        """Sorted distinct row letters present on the plate."""
+        return sorted({well.row for well in self._layout.values()})
 
     @property
     def columns(self) -> list[int]:
-        """Unique columns in the plate layout."""
-        return sorted({well.column for well in self.layout.values()})
+        """Sorted distinct column numbers present on the plate."""
+        return sorted({well.column for well in self._layout.values()})
 
     @property
     def well_ids(self) -> list[str]:
-        """Return a list of all well IDs in the layout."""
-        return sorted(self.layout.keys())
+        """All canonical well IDs, sorted."""
+        return sorted(self._layout)
 
     def __getitem__(self, well_id: str) -> Well:
-        """Get a well by its ID (non-normalized IDs like "A1" are accepted)."""
         try:
-            normalized = Well(well_id).id
+            canonical = normalize_well_id(well_id)
         except ValueError as e:
             raise KeyError(f"Invalid well ID '{well_id}': {e}") from None
-
-        try:
-            return self.layout[normalized]
-        except KeyError:
-            raise KeyError(f"Well ID '{well_id}' not found in plate layout.") from None
+        well = self._layout.get(canonical)
+        if well is None:
+            raise KeyError(f"Well ID '{well_id}' not found in plate layout.")
+        return well
 
     def __len__(self) -> int:
-        return len(self.layout)
+        return len(self._layout)
 
     def __contains__(self, well_id: str) -> bool:
-        """Check if a well ID exists in the layout (accepts non-normalized IDs)."""
         try:
-            normalized = Well(well_id).id
-            return normalized in self.layout
+            return normalize_well_id(well_id) in self._layout
         except ValueError:
             return False
 
     def __iter__(self) -> Iterator[Well]:
-        return iter(self.layout.values())
+        return iter(self._layout.values())
 
     @classmethod
     def from_csv(cls, csv_path: Path, **kwargs) -> MicroplateLayout:
-        """Load a microplate layout from a CSV file using pandas.
+        """Read a layout from a CSV with a `well_id` column.
 
-        Args:
-            csv_path: Path to CSV file containing well_id, sample, and optional
-                property columns.
-            **kwargs: Additional arguments passed to pd.read_csv.
-
-        Returns:
-            MicroplateLayout instance with wells parsed from the CSV.
-
-        Raises:
-            ValueError: If CSV is empty or missing required 'well_id' column.
+        Extra columns become per-well `properties` (a "sample" column, if
+        present, fills `Well.sample`). `**kwargs` pass through to
+        `pd.read_csv`.
         """
-        df = pd.read_csv(csv_path, **kwargs)
-
-        if df.empty:
+        table = pd.read_csv(csv_path, **kwargs)
+        if table.empty:
             raise ValueError(f"CSV file '{csv_path}' is empty")
-
-        if "well_id" not in df.columns:
+        if "well_id" not in table.columns:
             raise ValueError(
                 f"CSV file '{csv_path}' missing required 'well_id' column. "
-                f"Found columns: {list(df.columns)}"
+                f"Found columns: {list(table.columns)}"
             )
-
-        wells = [Well.from_dict(row) for row in df.to_dict("records")]
-
-        return cls(wells)
+        return cls([Well.from_dict(record) for record in table.to_dict("records")])
 
     def to_dataframe(self) -> pd.DataFrame:
-        """Convert plate layout to a pandas DataFrame with all well data.
-
-        Returns:
-            DataFrame with columns: well_id, row, column, sample, and any
-            additional properties. One row per well in the layout.
-        """
-        if not self.layout:
+        """One row per well: well_id, row, column, sample, plus properties."""
+        if not self._layout:
             return pd.DataFrame()
-
-        data = []
-        for well in self.layout.values():
-            row_data = {
-                "well_id": well.id,
-                "row": well.row,
-                "column": well.column,
-                "sample": well.sample,
-            }
-            row_data.update(well.properties)
-            data.append(row_data)
-
-        return pd.DataFrame(data)
+        records = []
+        for well in self._layout.values():
+            record = dict(
+                well_id=well.id, row=well.row, column=well.column, sample=well.sample
+            )
+            record.update(well.properties)
+            records.append(record)
+        return pd.DataFrame(records)
 
     def display(self) -> str:
-        """Display the plate layout as a formatted grid table.
-
-        Returns:
-            String representation of the plate as a pivot table.
-        """
-        df = self.to_dataframe()
-        if df.empty:
+        """Render the plate as a row x column sample grid ('-' = empty)."""
+        table = self.to_dataframe()
+        if table.empty:
             return "Empty plate layout"
-
-        pivot = df.pivot(index="row", columns="column", values="sample")
-        pivot = pivot.fillna("-")
-        return pivot.to_string()
+        grid = table.pivot(index="row", columns="column", values="sample").fillna("-")
+        return grid.to_string()

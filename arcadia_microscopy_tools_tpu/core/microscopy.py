@@ -1,15 +1,18 @@
 """Core image data model.
 
-`MicroscopyImage` keeps the exact API and validation semantics of the
-reference (`src/arcadia_microscopy_tools/microscopy.py:17-308`): an intensity
-array whose shape must equal ``tuple(metadata.instrument.sizes.values())``,
-a uint16 dtype contract enforced by a `MetadataWarning`, name-based channel
-extraction, and a pipeline bridge.
+A `MicroscopyImage` pairs one intensity array with the metadata tree
+describing how it was acquired. The shape contract is strict: the array's
+axes must line up, in order, with `metadata.instrument.sizes` (e.g.
+``{'T': 100, 'C': 2, 'Y': 512, 'X': 512}`` demands a (100, 2, 512, 512)
+array), and non-uint16 data triggers a `MetadataWarning` because the
+downstream dtype contracts assume 16-bit detector counts. Behavior and API
+match the reference model (`src/arcadia_microscopy_tools/microscopy.py:17-308`),
+including name-based channel extraction and the pipeline bridge.
 
-TPU-native additions: intensities may live on host (NumPy) or device (JAX);
-``device_intensities()`` moves them to HBM once and caches the result so that
-repeated channel extraction / pipeline application never re-crosses the
-host->device boundary.
+TPU-native addition: intensities may be host (NumPy) or device (JAX)
+resident, and `device_intensities()` pushes them to HBM exactly once -
+every later channel slice or pipeline call reuses the cached device buffer
+instead of re-crossing the host->device boundary.
 """
 
 from __future__ import annotations
@@ -27,140 +30,122 @@ from ..typing import AnyArray, ScalarArray, UInt16Array
 from .channels import Channel
 from .metadata_structures import ChannelMetadata, DimensionFlags
 
+__all__ = ["InstrumentMetadata", "Metadata", "MicroscopyImage"]
+
 
 @dataclass
 class InstrumentMetadata:
-    """Instrument metadata for a microscopy image.
-
-    Contains metadata for all channels in the image.
+    """Acquisition metadata for every channel of one image.
 
     Attributes:
-        sizes: Mapping of dimensions to sizes (e.g., {'T': 100, 'C': 2, 'Y': 512, 'X': 512}).
-        channel_metadata_list: List of ChannelMetadata objects for each channel in the image.
-        channel_axis: Axis index for the channel dimension, or None if single channel.
-        dimensions: Dimension flags indicating which dimensions are present in the image.
+        sizes: Ordered axis-name -> extent mapping; its order defines the
+            intensity array's axis order.
+        channel_metadata_list: One `ChannelMetadata` per channel, in the
+            channel axis order.
     """
 
-    sizes: dict[str, int]
+    sizes: dict[str, int]  # axis order == intensity array axis order
     channel_metadata_list: list[ChannelMetadata]
 
     def __post_init__(self) -> None:
-        """Validate consistency between sizes and channel_metadata_list."""
-        for key in ("X", "Y"):
-            if key not in self.sizes:
-                raise ValueError(
-                    f"sizes must contain '{key}' dimension, got keys: {list(self.sizes.keys())}"
-                )
+        """Cross-check the axis table against the per-channel records."""
+        for axis in ("X", "Y"):
+            if axis not in self.sizes:
+                msg = f"sizes must contain '{axis}' dimension, got keys: {list(self.sizes.keys())}"
+                raise ValueError(msg)
 
-        expected_num_channels = self.sizes.get("C", 1)
-        actual_num_channels = len(self.channel_metadata_list)
-        if actual_num_channels != expected_num_channels:
-            raise ValueError(
-                f"Number of channel metadata entries ({actual_num_channels}) does not match "
-                f"the channel dimension size ({expected_num_channels}) in sizes"
+        declared = self.sizes.get("C", 1)
+        described = len(self.channel_metadata_list)
+        if described != declared:
+            msg = (
+                f"Number of channel metadata entries ({described}) does not match "
+                f"the channel dimension size ({declared}) in sizes"
             )
+            raise ValueError(msg)
 
     @property
     def channel_axis(self) -> int | None:
-        """Get the axis index for the channel dimension, or None if single channel."""
-        if "C" in self.sizes:
-            return list(self.sizes.keys()).index("C")
-        return None
+        """Position of the 'C' axis in the array, or None without one."""
+        keys = list(self.sizes)
+        return keys.index("C") if "C" in self.sizes else None
 
     @cached_property
     def dimensions(self) -> DimensionFlags:
-        """Derive dimension flags by combining from all channels."""
-        _dimensions = DimensionFlags(0)
-        for channel_metadata in self.channel_metadata_list:
-            _dimensions |= channel_metadata.dimensions
-
-        # Add MULTICHANNEL flag if there are multiple channels
+        """Axis flags for the whole image: the OR over all channels' flags,
+        plus MULTICHANNEL whenever more than one channel exists."""
+        combined = DimensionFlags(0)
+        for record in self.channel_metadata_list:
+            combined |= record.dimensions
         if len(self.channel_metadata_list) > 1:
-            _dimensions |= DimensionFlags.MULTICHANNEL
-
-        return _dimensions
+            combined |= DimensionFlags.MULTICHANNEL
+        return combined
 
 
 @dataclass
 class Metadata:
-    """Combined metadata for a microscopy image of a sample.
-
-    Contains both sample-specific metadata and instrument acquisition metadata.
+    """The full metadata attached to an image: instrument + sample.
 
     Attributes:
-        instrument: Instrument acquisition metadata including dimensions and
-            channel information.
-        sample: Optional dictionary containing sample-specific metadata.
+        instrument: What the microscope recorded (axes, channels, optics).
+        sample: Free-form experimenter annotations, or None.
     """
 
-    instrument: InstrumentMetadata
-    sample: dict[str, Any] | None = None
+    instrument: InstrumentMetadata  # parsed from the file
+    sample: dict[str, Any] | None = None  # experimenter-supplied
 
     def __repr__(self) -> str:
-        """Return a concise string representation of the metadata."""
-        channels = [cm.channel.name for cm in self.instrument.channel_metadata_list]
-        sample_str = f", sample={self.sample}" if self.sample else ""
-        return f"<Metadata sizes={self.instrument.sizes}, channels={channels}{sample_str}>"
+        names = [record.channel.name for record in self.instrument.channel_metadata_list]
+        tail = f", sample={self.sample}" if self.sample else ""
+        return f"<Metadata sizes={self.instrument.sizes}, channels={names}{tail}>"
 
 
 @dataclass
 class MicroscopyImage:
-    """Dataclass for microscopy image data.
-
-    Contains both the image intensity data and associated metadata for all
-    channels. Provides methods to access specific channel data.
+    """An intensity array plus the metadata that makes it interpretable.
 
     Attributes:
-        intensities: Array containing the image intensity data. Shape depends on
-            acquisition type (e.g., (Y, X) for 2D, (T, Y, X) for time-lapse,
-            (T, C, Y, X) for multi-channel time-lapse). Host (NumPy) or device
-            (JAX) resident.
-        metadata: Combined metadata containing image acquisition metadata and
-            optional sample-specific metadata.
+        intensities: The pixel data; axis order follows
+            `metadata.instrument.sizes` (e.g. (T, C, Y, X) for a
+            multichannel timelapse). NumPy or JAX resident.
+        metadata: Instrument + sample metadata; validated against the array
+            shape on construction.
     """
 
-    intensities: UInt16Array
-    metadata: Metadata
+    intensities: UInt16Array  # uint16 detector counts, axes per sizes
+    metadata: Metadata  # validated against the array on construction
 
     def __post_init__(self) -> None:
-        """Validate consistency between intensities array and metadata."""
-        expected_shape = tuple(self.metadata.instrument.sizes.values())
-        if tuple(self.intensities.shape) != expected_shape:
-            raise ValueError(
-                f"Intensities shape {tuple(self.intensities.shape)} does not match "
-                f"metadata sizes {self.metadata.instrument.sizes} "
-                f"(expected shape {expected_shape})"
+        """Fail fast on a shape/metadata mismatch; warn on non-uint16 data."""
+        declared_shape = tuple(self.metadata.instrument.sizes.values())
+        if tuple(self.intensities.shape) != declared_shape:
+            msg = (
+                f"Intensities shape {tuple(self.intensities.shape)} does not match"
+                f" metadata sizes {self.metadata.instrument.sizes}"
+                f" (expected shape {declared_shape})"
             )
-
+            raise ValueError(msg)
         if self.intensities.dtype != np.uint16:
-            warnings.warn(
-                f"Expected uint16 intensities, got {self.intensities.dtype}. "
-                f"Some operations may behave unexpectedly.",
-                MetadataWarning,
-                stacklevel=2,
+            note = (
+                f"Expected uint16 intensities, got {self.intensities.dtype}."
+                " Some operations may behave unexpectedly."
             )
+            warnings.warn(note, MetadataWarning, stacklevel=2)
 
     def __repr__(self) -> str:
-        """Return a concise string representation of the microscopy image."""
-        dtype_str = f"dtype={self.intensities.dtype}"
-
         flat = np.asarray(self.intensities).ravel()
-        total = flat.size
-        if total <= 10:
-            intensity_str = f"intensities={flat.tolist()}"
+        if flat.size <= 10:
+            preview = f"intensities={flat.tolist()}"
         else:
-            first_vals = flat[:3].tolist()
-            last_vals = flat[-3:].tolist()
-            intensity_str = (
-                f"intensities=[{', '.join(map(str, first_vals))}, ..., "
-                f"{', '.join(map(str, last_vals))}]"
-            )
+            head = ", ".join(str(v) for v in flat[:3])
+            tail = ", ".join(str(v) for v in flat[-3:])
+            preview = f"intensities=[{head}, ..., {tail}]"
+        names = [ch.name for ch in self.channels]
+        return (
+            f"<MicroscopyImage sizes={self.sizes}, channels={names}, "
+            f"{preview}, dtype={self.intensities.dtype}>"
+        )
 
-        sizes_str = f"sizes={self.sizes}"
-        channels_str = f"channels={[channel.name for channel in self.channels]}"
-        info = f"{sizes_str}, {channels_str}, {intensity_str}, {dtype_str}"
-
-        return f"<MicroscopyImage {info}>"
+    # -- constructors ------------------------------------------------------------
 
     @classmethod
     def from_nd2_path(
@@ -169,23 +154,18 @@ class MicroscopyImage:
         channels: list[Channel] | None = None,
         sample_metadata: dict[str, Any] | None = None,
     ) -> MicroscopyImage:
-        """Create MicroscopyImage from a Nikon ND2 file.
+        """Load a Nikon ND2 file (decode + metadata parse in `io.nikon`).
 
         Args:
-            nd2_path: Path to the Nikon ND2 file.
-            channels: Optional list of Channel objects to override automatic
-                channel detection. If not provided, channels are inferred from
-                the ND2 file's optical configuration.
-            sample_metadata: Optional dictionary containing sample-specific metadata.
-
-        Returns:
-            MicroscopyImage: A new microscopy image with intensity data and metadata.
+            nd2_path: The .nd2 file to read.
+            channels: Override the automatic channel identification (one
+                Channel per file channel, in order).
+            sample_metadata: Experimenter annotations to attach.
         """
         from ..io.nikon import load_nd2
 
-        intensities, instrument_metadata = load_nd2(nd2_path, channels)
-        metadata = Metadata(instrument_metadata, sample_metadata)
-        return cls(intensities, metadata)
+        pixels, instrument = load_nd2(nd2_path, channels)
+        return cls(pixels, Metadata(instrument, sample_metadata))
 
     @classmethod
     def from_lif_path(
@@ -195,149 +175,112 @@ class MicroscopyImage:
         channels: list[Channel] | None = None,
         sample_metadata: dict[str, Any] | None = None,
     ) -> MicroscopyImage:
-        """Create MicroscopyImage from a Leica LIF file.
+        """Load one image from a Leica LIF container (see `io.leica`).
 
         Args:
-            lif_path: Path to the Leica LIF file.
-            image_name: Name of the image within the LIF file to load.
-            channels: Optional list of Channel objects to override automatic
-                channel detection. If not provided, channels are inferred from
-                the LIF file metadata.
-            sample_metadata: Optional dictionary containing sample-specific metadata.
-
-        Returns:
-            MicroscopyImage: A new microscopy image with intensity data and metadata.
+            lif_path: The .lif file to read.
+            image_name: Which image in the container (LIF files hold many);
+                see `io.leica.list_image_names`.
+            channels: Override the automatic channel identification.
+            sample_metadata: Experimenter annotations to attach.
         """
         from ..io.leica import load_lif_image
 
-        intensities, instrument_metadata = load_lif_image(lif_path, image_name, channels)
-        metadata = Metadata(instrument_metadata, sample_metadata)
-        return cls(intensities, metadata)
+        pixels, instrument = load_lif_image(lif_path, image_name, channels)
+        return cls(pixels, Metadata(instrument, sample_metadata))
+
+    # -- shape / channel introspection ---------------------------------------------
 
     @property
     def shape(self) -> tuple[int, ...]:
-        """Get the shape of the intensity array."""
+        """The intensity array's shape."""
         return tuple(self.intensities.shape)
 
     @property
     def sizes(self) -> dict[str, int]:
-        """Get the dimension sizes dictionary (e.g., {'T': 100, 'C': 2, 'Y': 512, 'X': 512})."""
+        """Axis-name -> extent mapping (defines the axis order)."""
         return self.metadata.instrument.sizes
 
     @property
     def dimensions(self) -> DimensionFlags:
-        """Get the dimension flags indicating which dimensions are present."""
+        """Axis flags for the image (OR over channels)."""
         return self.metadata.instrument.dimensions
 
     @property
     def channels(self) -> list[Channel]:
-        """Get the list of channels in this image."""
-        return [
-            channel_metadata.channel
-            for channel_metadata in self.metadata.instrument.channel_metadata_list
-        ]
+        """Channel identities, in channel-axis order."""
+        return [record.channel for record in self.metadata.instrument.channel_metadata_list]
 
     @property
     def channel_axis(self) -> int | None:
-        """Get the axis index for the channel dimension, or None if single channel."""
+        """Position of the channel axis, or None for single-channel data."""
         return self.metadata.instrument.channel_axis
 
     @property
     def num_channels(self) -> int:
-        """Get the number of channels in this image."""
+        """How many channels the image holds."""
         return len(self.metadata.instrument.channel_metadata_list)
 
-    def device_intensities(self) -> AnyArray:
-        """Move the intensity array to the default JAX device (HBM) and cache it.
+    # -- device residency ------------------------------------------------------------
 
-        Repeated calls return the same device buffer; channel extraction and
-        pipelines built on top of it stay on device.
+    def device_intensities(self) -> AnyArray:
+        """The intensity array as a cached device (HBM) buffer.
+
+        The first call pays one host->device transfer; later calls (and the
+        channel slices taken from them) reuse the same buffer.
         """
-        cached = self.__dict__.get("_device_intensities")
-        if cached is None:
+        buffer = self.__dict__.get("_device_intensities")
+        if buffer is None:
             import jax
 
-            cached = jax.device_put(np.asarray(self.intensities))
-            self.__dict__["_device_intensities"] = cached
-        return cached
+            buffer = jax.device_put(np.asarray(self.intensities))
+            self.__dict__["_device_intensities"] = buffer
+        return buffer
 
-    @staticmethod
-    def _resolve_channel_name(channel: str | Channel) -> str:
-        return channel if isinstance(channel, str) else channel.name
+    # -- channel extraction ------------------------------------------------------------
 
     def get_channel_intensities(
         self, channel: str | Channel, *, device: bool = False
     ) -> UInt16Array:
-        """Extract intensity data for a specific channel.
+        """All intensity data belonging to one channel.
 
-        Returns all data for the requested channel, preserving temporal and
-        spatial dimensions (e.g., time-lapse or Z-stack).
+        The non-channel axes are preserved: a (T, C, Y, X) timelapse yields
+        (T, Y, X) for the chosen channel; single-channel images return the
+        whole array.
 
         Args:
-            channel: The channel to extract, as a Channel object or a channel
-                name string.
-            device: If True, slice the cached device-resident copy so the
-                result stays in HBM.
-
-        Returns:
-            Intensity array for the specified channel. Shape depends on acquisition:
-            - 2D single frame: (Y, X)
-            - Time-lapse: (T, Y, X)
-            - Z-stack: (Z, Y, X)
-            - Multi-channel 2D: (Y, X)
-            - Multi-channel time-lapse/Z-stack: (T, Y, X) or (Z, Y, X)
+            channel: Channel object or channel name to extract.
+            device: When True, slice the cached HBM copy so the result stays
+                on device.
 
         Raises:
-            ValueError: If the specified channel is not in this image or no
-                metadata is available.
+            ValueError: For a channel name the image does not contain.
         """
-        name = self._resolve_channel_name(channel)
-        channel_names = [ch.name for ch in self.channels]
-        if name not in channel_names:
-            raise ValueError(
-                f"Channel '{name}' not found in image. Available channels: "
-                f"{[ch.name for ch in self.channels]}"
-            )
+        wanted = channel if isinstance(channel, str) else channel.name
+        names = [ch.name for ch in self.channels]
+        if wanted not in names:
+            msg = f"Channel '{wanted}' not found in image. Available channels: {names}"
+            raise ValueError(msg)
 
-        source = self.device_intensities() if device else self.intensities
-
-        # Single channel - return all data (may include T or Z dimensions)
+        data = self.device_intensities() if device else self.intensities
         if self.num_channels == 1:
-            return source
+            return data
 
-        # Multi-channel - extract the specific channel using channel_axis
-        channel_index = channel_names.index(name)
-        if self.channel_axis is None:
+        axis = self.channel_axis
+        if axis is None:
             raise ValueError("Channel axis not found in metadata")
+        index: list[slice | int] = [slice(None)] * len(data.shape)
+        index[axis] = names.index(wanted)
+        return data[tuple(index)]
 
-        # Build slice tuple to extract the channel
-        slices: list[slice | int] = [slice(None)] * len(source.shape)
-        slices[self.channel_axis] = channel_index
+    def apply_pipeline(self, pipeline, channel: str | Channel) -> ScalarArray:
+        """Run a `Pipeline` on one channel's intensities.
 
-        return source[tuple(slices)]
-
-    def apply_pipeline(
-        self,
-        pipeline,
-        channel: str | Channel,
-    ) -> ScalarArray:
-        """Apply a processing pipeline to intensity data from a specific channel.
-
-        Extracts the intensity data for the specified channel and processes it
-        through the provided pipeline (a single fused, jitted device program).
+        Equivalent to ``pipeline(image.get_channel_intensities(channel))``;
+        with the fused pipeline engine this is one jitted device program.
 
         Args:
-            pipeline: The processing pipeline to apply.
-            channel: The channel whose intensity data should be processed,
-                as a Channel object or a channel name string.
-
-        Returns:
-            Processed intensity data. The shape and dtype depend on
-            the specific transformations in the pipeline.
-
-        Raises:
-            ValueError: If the specified channel is not found in this image or
-                if no image metadata is available.
+            pipeline: The Pipeline (or any callable on arrays) to apply.
+            channel: Which channel's data to process.
         """
-        intensities = self.get_channel_intensities(channel)
-        return pipeline(intensities)
+        return pipeline(self.get_channel_intensities(channel))

@@ -5,15 +5,12 @@ from .core.metadata_structures import (
     AcquisitionSettings,
     ChannelMetadata,
     DimensionFlags,
-    DimensionValidatorMixin,
     MeasuredDimensions,
     MicroscopeConfig,
     NominalDimensions,
-    dimension_field,
 )
 
 __all__ = [
     "AcquisitionSettings", "ChannelMetadata", "DimensionFlags",
-    "DimensionValidatorMixin", "MeasuredDimensions", "MicroscopeConfig",
-    "NominalDimensions", "dimension_field",
+    "MeasuredDimensions", "MicroscopeConfig", "NominalDimensions",
 ]
