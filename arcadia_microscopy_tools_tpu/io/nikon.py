@@ -1,23 +1,34 @@
-"""Nikon ND2 ingest: load_nd2 + metadata parser.
+"""Nikon ND2 ingest: pixel load + metadata interpretation.
 
-Behavioral twin of the reference's Nikon layer
-(`src/arcadia_microscopy_tools/nikon.py:25-479`), built on the from-scratch
-`io.nd2` reader instead of the `nd2` package. Keeps every parser quirk the
-golden tests depend on: optical-config alias resolution (MONO->BRIGHTFIELD,
-GFP->FITC), longest-substring channel matching, the
-"%m/%d/%Y %I:%M:%S %p" timestamp format, xy-step averaging, z-column
-autodetection among three hardware names with Z-Series centering, time
-zeroing to the first frame, exposure/binning regex parsing from text_info,
-and `MetadataWarning` on synthesized fallback channels.
+Sits on top of the from-scratch binary reader in `io.nd2` (the reference
+delegates to the `nd2` PyPI package, `src/arcadia_microscopy_tools/
+nikon.py:25-479`; this module reproduces that layer's *interpretation* of
+what the reader returns). The quirks the golden-metadata tests pin down:
+
+- optical-config names resolve exact-first, then via Nikon aliases
+  ("Mono" -> BRIGHTFIELD, "GFP" -> FITC), then by longest-substring match;
+- unrecognized configs synthesize a Channel from the file's color and
+  ex/em wavelengths, with a MetadataWarning;
+- acquisition timestamps use NIS-Elements' "%m/%d/%Y %I:%M:%S %p" format;
+- the lateral pixel pitch is the mean of the X and Y calibrations;
+- measured Z comes from whichever hardware column actually varies (three
+  candidate column names), centered on the Z-Series zero plane;
+- measured time is re-zeroed to the first frame and reported in ms;
+- exposure and binning are scraped from the "Sample N:" blocks of the
+  capture description text.
+
+Organized as pure functions over a small `_FileFacts` snapshot rather than a
+stateful parser class; each function maps one metadata record.
 """
 
 from __future__ import annotations
 
 import re
 import warnings
+from dataclasses import dataclass
 from datetime import datetime
 from pathlib import Path
-
+from typing import Any
 
 import pandas as pd
 
@@ -35,402 +46,337 @@ from ..exceptions import MetadataWarning
 from ..typing import Float64Array, UInt16Array
 from . import nd2
 
+__all__ = ["load_nd2"]
+
+_TIMESTAMP_FORMAT = "%m/%d/%Y %I:%M:%S %p"  # NIS-Elements date strings
+
+# Nikon optical-config substrings that imply a predefined channel
+_CONFIG_ALIASES: tuple[tuple[str, Channel], ...] = (
+    ("MONO", BRIGHTFIELD),
+    ("GFP", FITC),
+)
+
+# hardware Z columns, in preference order; whichever varies wins
+_Z_COLUMN_CANDIDATES = (
+    "Z Coord [µm]",
+    "Ti2 ZDrive [µm]",
+    "NIDAQ Piezo Z (name: Piezo Z) [µm]",
+)
+
+_SECONDS_PER_UNIT = {"min": 60.0, "s": 1.0, "ms": 1e-3, "us": 1e-6, "µs": 1e-6}
+
 
 def load_nd2(
     nd2_path: Path,
     channels: list[Channel] | None = None,
 ) -> tuple[UInt16Array, InstrumentMetadata]:
-    """Load intensity data and metadata from a Nikon ND2 file in a single pass.
+    """Read an ND2 file's pixels and interpreted metadata in one pass.
 
     Args:
-        nd2_path: Path to the Nikon ND2 file.
-        channels: Optional list of Channel objects to override automatic
-            channel detection. If not provided, channels are inferred from the
-            ND2 file's optical configuration.
+        nd2_path: The .nd2 file.
+        channels: Explicit channel identities (one per file channel, in
+            order) to use instead of name-based inference.
 
     Returns:
-        Tuple of (intensities, instrument_metadata).
+        (intensity array, InstrumentMetadata) - shapes follow the file's
+        axis table, so `MicroscopyImage` accepts them directly.
     """
-    parser = _NikonMetadataParser(nd2_path, channels)
-    with nd2.ND2File(nd2_path) as nd2f:
-        intensities = nd2f.asarray()
-        instrument_metadata = parser.parse(nd2f)
-    return intensities, instrument_metadata
-
-
-_OPTICAL_CONFIG_ALIASES: dict[str, Channel] = {
-    "MONO": BRIGHTFIELD,
-    "GFP": FITC,
-}
+    with nd2.ND2File(nd2_path) as handle:
+        pixels = handle.asarray()
+        meta = _interpret(handle, nd2_path, channels)
+    return pixels, meta
 
 
 def _resolve_optical_config(optical_config: str) -> Channel | None:
-    """Resolve a Nikon optical configuration name to a predefined Channel.
+    """Map a Nikon optical-configuration name onto a predefined Channel.
 
-    Matching order (reference nikon.py:52-76):
-        1. Exact match against known channel names (case-insensitive).
-        2. Nikon-specific aliases (e.g. "Mono" -> BRIGHTFIELD, "GFP" -> FITC).
-        3. Longest substring match against known channel names.
-
-    Returns:
-        The matching predefined Channel, or None if no match is found.
+    Tries, in order: case-insensitive exact name; alias substrings
+    (`_CONFIG_ALIASES`); the LONGEST predefined channel name occurring as a
+    substring. None means nothing matched (caller synthesizes a channel).
     """
-    key = optical_config.upper()
-
-    if key in CHANNELS:
-        return CHANNELS[key]
-
-    for alias, channel in _OPTICAL_CONFIG_ALIASES.items():
-        if alias in key:
+    name = optical_config.upper()
+    if name in CHANNELS:
+        return CHANNELS[name]
+    for fragment, channel in _CONFIG_ALIASES:
+        if fragment in name:
             return channel
-
-    matches = [name for name in CHANNELS if name in key]
-    if matches:
-        return CHANNELS[max(matches, key=len)]
-
+    embedded = [known for known in CHANNELS if known in name]
+    if embedded:
+        return CHANNELS[max(embedded, key=len)]
     return None
 
 
-def _nd2_color_to_hex(color: nd2.Color) -> str:
-    """Convert an ND2 Color (r, g, b ints 0-255) to a hex string."""
-    return f"#{color.r:02X}{color.g:02X}{color.b:02X}"
+@dataclass(frozen=True)
+class _FileFacts:
+    """Once-per-file snapshot shared by every per-channel parse step."""
+
+    path: Path
+    sizes: dict[str, int]
+    text_info: dict[str, str]
+    events: list[dict[str, Any]]
+    dims: DimensionFlags
+    stamp: datetime
 
 
-class _NikonMetadataParser:
-    """Parser for extracting metadata from Nikon ND2 files."""
+def _interpret(
+    handle: nd2.ND2File, path: Path, channels: list[Channel] | None
+) -> InstrumentMetadata:
+    """Interpret one opened file into an InstrumentMetadata tree."""
+    facts = _FileFacts(
+        path=path,
+        sizes=dict(handle.sizes),
+        text_info=dict(handle.text_info),
+        events=handle.events(),
+        dims=_axis_flags(dict(handle.sizes)),
+        stamp=_acquisition_timestamp(dict(handle.text_info)),
+    )
 
-    def __init__(self, nd2_path: Path, channels: list[Channel] | None = None):
-        self.nd2_path = nd2_path
-        self.channels = channels
-        self._nd2f: nd2.ND2File
-
-    def parse(self, nd2f: nd2.ND2File | None = None) -> InstrumentMetadata:
-        """Parse the ND2 file and extract all metadata."""
-        if nd2f is not None:
-            return self._extract_metadata(nd2f)
-        with nd2.ND2File(self.nd2_path) as opened:
-            return self._extract_metadata(opened)
-
-    def _extract_metadata(self, nd2f: nd2.ND2File) -> InstrumentMetadata:
-        self._nd2f = nd2f
-        self.sizes = dict(self._nd2f.sizes)
-        self.text_info = dict(self._nd2f.text_info)
-        self.events = self._nd2f.events()
-        self.dimensions = self._get_dimension_flags()
-        self.timestamp = self._parse_timestamp()
-
-        channel_metadata_list = self._parse_all_channels()
-        return InstrumentMetadata(self.sizes, channel_metadata_list)
-
-    def _parse_all_channels(self) -> list[ChannelMetadata]:
-        if self._nd2f.metadata.contents is None:
-            raise ValueError(f"No metadata contents available in {self.nd2_path}")
-
-        num_channels = self._nd2f.metadata.contents.channelCount
-        if self.channels is not None and len(self.channels) != num_channels:
-            raise ValueError(
-                f"Expected {num_channels} channels but got {len(self.channels)} in channels list"
-            )
-
-        channel_metadata_list = []
-        for i in range(num_channels):
-            channel = self.channels[i] if self.channels else None
-            channel_metadata_list.append(self._parse_channel_metadata(i, channel))
-        return channel_metadata_list
-
-    def _parse_channel_metadata(
-        self,
-        channel_index: int,
-        channel: Channel | None = None,
-    ) -> ChannelMetadata:
-        nd2_channel = self._get_nd2_channel_metadata(channel_index)
-
-        if channel is None:
-            channel = _resolve_optical_config(nd2_channel.channel.name)
-            if channel is None:
-                channel = self._build_fallback_channel(nd2_channel.channel)
-
-        resolution = self._parse_nominal_dimensions(nd2_channel)
-        measured = self._parse_measured_dimensions()
-        acquisition = self._parse_acquisition_settings(nd2_channel, channel_index)
-        optics = self._parse_microscope_settings(nd2_channel)
-
-        return ChannelMetadata(
-            channel=channel,
-            timestamp=self.timestamp,
-            dimensions=self.dimensions,
-            resolution=resolution,
-            measured=measured,
-            acquisition=acquisition,
-            optics=optics,
+    contents = handle.metadata.contents
+    if contents is None:
+        raise ValueError(f"No metadata contents available in {path}")
+    count = contents.channelCount
+    if channels is not None and len(channels) != count:
+        raise ValueError(
+            f"Expected {count} channels but got {len(channels)} in channels list"
         )
 
-    def _get_nd2_channel_metadata(self, channel_index: int) -> nd2.ChannelStruct:
-        channels = self._nd2f.metadata.channels
-        if channels is None:
-            raise ValueError("No channel metadata available")
-        return channels[channel_index]
+    records = []
+    for index in range(count):
+        given = channels[index] if channels else None
+        records.append(_channel_record(handle, facts, index, given))
+    return InstrumentMetadata(facts.sizes, records)
 
-    def _build_fallback_channel(self, channel_meta: nd2.ChannelMeta) -> Channel:
-        """Synthesize a Channel from ND2 metadata for an unrecognized optical
-        config (reference nikon.py:171-195)."""
-        color = _nd2_color_to_hex(channel_meta.color) if channel_meta.color else "#FFFFFF"
-        excitation_nm = channel_meta.excitationLambdaNm or None
-        emission_nm = channel_meta.emissionLambdaNm or None
 
-        warnings.warn(
-            f"Optical configuration '{channel_meta.name}' did not match a predefined "
-            "channel; synthesizing a channel from ND2 metadata. Pass a Channel instance "
-            "to prevent this warning.",
-            MetadataWarning,
-            stacklevel=2,
-        )
+def _channel_record(
+    handle: nd2.ND2File, facts: _FileFacts, index: int, given: Channel | None
+) -> ChannelMetadata:
+    """Everything known about one channel, as a ChannelMetadata."""
+    structs = handle.metadata.channels
+    if structs is None:
+        raise ValueError("No channel metadata available")
+    struct = structs[index]
 
-        return Channel(
-            name=channel_meta.name,
-            color=color,
-            excitation_nm=excitation_nm,
-            emission_nm=emission_nm,
-        )
+    identity = given
+    if identity is None:
+        identity = _resolve_optical_config(struct.channel.name)
+    if identity is None:
+        identity = _synthesize_channel(struct.channel)
 
-    def _get_dimension_flags(self) -> DimensionFlags:
-        """Determine dimension flags from ND2 file sizes for a single channel."""
-        dimensions = DimensionFlags(0)
+    return ChannelMetadata(
+        channel=identity,
+        timestamp=facts.stamp,
+        dimensions=facts.dims,
+        resolution=_nominal_geometry(struct, facts),
+        measured=_measured_coordinates(facts),
+        acquisition=_capture_settings(struct, facts, index),
+        optics=_optical_train(struct),
+    )
 
-        if "T" in self.sizes and self.sizes["T"] > 1:
-            dimensions |= DimensionFlags.TIMELAPSE
-        if "Z" in self.sizes and self.sizes["Z"] > 1:
-            dimensions |= DimensionFlags.Z_STACK
-        if "S" in self.sizes and self.sizes["S"] > 1:
-            dimensions |= DimensionFlags.RGB
-        if "P" in self.sizes and self.sizes["P"] > 1:
-            dimensions |= DimensionFlags.MONTAGE
 
-        return dimensions
+def _synthesize_channel(meta: nd2.ChannelMeta) -> Channel:
+    """Fallback Channel for an optical config no predefined name matches,
+    built from the file's display color and recorded wavelengths."""
+    if meta.color:
+        rgb = meta.color
+        hex_color = f"#{rgb.r:02X}{rgb.g:02X}{rgb.b:02X}"
+    else:
+        hex_color = "#FFFFFF"
 
-    def _parse_timestamp(self) -> datetime:
-        """Parse timestamp from text_info."""
-        if "date" not in self.text_info:
-            raise ValueError("Missing 'date' field in text_info")
+    warnings.warn(
+        f"Optical configuration '{meta.name}' did not match a predefined "
+        "channel; synthesizing a channel from ND2 metadata. Pass a Channel instance "
+        "to prevent this warning.",
+        MetadataWarning,
+        stacklevel=2,
+    )
+    return Channel(
+        name=meta.name,
+        color=hex_color,
+        excitation_nm=meta.excitationLambdaNm or None,
+        emission_nm=meta.emissionLambdaNm or None,
+    )
 
-        timestamp = self.text_info["date"]
-        return datetime.strptime(timestamp, "%m/%d/%Y %I:%M:%S %p")
 
-    def _parse_nominal_dimensions(self, nd2_channel: nd2.ChannelStruct) -> NominalDimensions:
-        """Parse nominal dimensions from nd2 channel metadata."""
-        x_size_px, y_size_px, z_size_px = nd2_channel.volume.voxelCount
-        x_step_um, y_step_um, z_step_um = nd2_channel.volume.axesCalibration
-        xy_step_um = (x_step_um + y_step_um) / 2
+def _axis_flags(sizes: dict[str, int]) -> DimensionFlags:
+    """Flags from the file's axis table; an axis counts only when its extent
+    exceeds one frame."""
+    flag_by_axis = {
+        "T": DimensionFlags.TIMELAPSE,
+        "Z": DimensionFlags.Z_STACK,
+        "S": DimensionFlags.RGB,
+        "P": DimensionFlags.MONTAGE,
+    }
+    flags = DimensionFlags(0)
+    for axis, flag in flag_by_axis.items():
+        if sizes.get(axis, 0) > 1:
+            flags |= flag
+    return flags
 
-        t_size_px = None
-        t_step_ms = None
-        if self.events:
-            t_size_px = self.sizes.get("T")
-            t_step_ms = self.events[0].get("Exposure Time [ms]")
 
-        return NominalDimensions(
-            x_size_px=x_size_px,
-            y_size_px=y_size_px,
-            xy_step_um=xy_step_um,
-            z_size_px=z_size_px if self.dimensions.is_zstack else None,
-            z_step_um=z_step_um if self.dimensions.is_zstack else None,
-            t_size_px=t_size_px if self.dimensions.is_timelapse else None,
-            t_step_ms=t_step_ms if self.dimensions.is_timelapse else None,
-            w_size_px=None,
-            w_step_nm=None,
-        )
+def _acquisition_timestamp(text_info: dict[str, str]) -> datetime:
+    """The acquisition date from the file's free-text block."""
+    if "date" not in text_info:
+        raise ValueError("Missing 'date' field in text_info")
+    return datetime.strptime(text_info["date"], _TIMESTAMP_FORMAT)
 
-    def _parse_measured_dimensions(self) -> MeasuredDimensions:
-        """Parse measured dimension values from event metadata."""
-        x_values_um = None
-        y_values_um = None
-        z_values_um = None
-        t_values_ms = None
-        w_values_nm = None
 
-        events_dataframe = pd.DataFrame(self.events)
+def _nominal_geometry(struct: nd2.ChannelStruct, facts: _FileFacts) -> NominalDimensions:
+    """Nominal grid geometry from the channel's volume calibration."""
+    nx, ny, nz = struct.volume.voxelCount
+    sx, sy, sz = struct.volume.axesCalibration
+    lateral = (sx + sy) / 2  # NIS calibrates X and Y separately; average
 
-        if len(events_dataframe) < 2:
-            return MeasuredDimensions(
-                z_values_um=z_values_um,
-                t_values_ms=t_values_ms,
-                w_values_nm=w_values_nm,
-            )
+    frames = interval_ms = None
+    if facts.events:
+        frames = facts.sizes.get("T")
+        interval_ms = facts.events[0].get("Exposure Time [ms]")
 
-        if self.dimensions.is_montage:
-            x_values_um, y_values_um = self._extract_xy_coordinates(events_dataframe)
+    zstack = facts.dims.is_zstack
+    lapse = facts.dims.is_timelapse
+    return NominalDimensions(
+        x_size_px=nx,
+        y_size_px=ny,
+        xy_step_um=lateral,
+        z_size_px=nz if zstack else None,
+        z_step_um=sz if zstack else None,
+        t_size_px=frames if lapse else None,
+        t_step_ms=interval_ms if lapse else None,
+        w_size_px=None,
+        w_step_nm=None,
+    )
 
-        if self.dimensions.is_zstack:
-            z_values_um = self._extract_z_coordinates(events_dataframe)
 
-        if self.dimensions.is_timelapse:
-            t_values_ms = self._extract_time_coordinates(events_dataframe)
+def _measured_coordinates(facts: _FileFacts) -> MeasuredDimensions:
+    """Recorded per-frame coordinates from the acquisition event log."""
+    table = pd.DataFrame(facts.events)
+    if len(table) < 2:
+        return MeasuredDimensions()
 
-        if self.dimensions.is_spectral:
-            w_values_nm = self._extract_wavelength_coordinates(events_dataframe)
+    xs = ys = zs = ts = ws = None
+    if facts.dims.is_montage:
+        xs, ys = _stage_positions(table)
+    if facts.dims.is_zstack:
+        zs = _z_positions(table)
+    if facts.dims.is_timelapse:
+        ts = _frame_times(table)
+    if facts.dims.is_spectral:
+        ws = _spectral_wavelengths(table)
+    return MeasuredDimensions(
+        x_values_um=xs, y_values_um=ys, z_values_um=zs, t_values_ms=ts, w_values_nm=ws
+    )
 
-        return MeasuredDimensions(
-            x_values_um=x_values_um,
-            y_values_um=y_values_um,
-            z_values_um=z_values_um,
-            t_values_ms=t_values_ms,
-            w_values_nm=w_values_nm,
-        )
 
-    def _extract_xy_coordinates(
-        self, events_dataframe: pd.DataFrame
-    ) -> tuple[Float64Array, Float64Array]:
-        """Extract stage coordinates from events for tiled imaging.
+def _stage_positions(table: pd.DataFrame) -> tuple[Float64Array, Float64Array]:
+    """Tiled-imaging stage positions. The reference also leaves this
+    unimplemented (nikon.py:287-296); same explicit error for parity."""
+    raise NotImplementedError(
+        "(X, Y) position extraction for tiled imaging is not yet implemented"
+    )
 
-        Not yet implemented in the reference either (nikon.py:287-296); kept
-        as the same explicit error for API parity.
-        """
-        raise NotImplementedError(
-            "(X, Y) position extraction for tiled imaging is not yet implemented"
-        )
 
-    def _extract_z_coordinates(self, events_dataframe: pd.DataFrame) -> Float64Array:
-        """Extract z-coordinates from events, centered around z=0.
+def _z_positions(table: pd.DataFrame) -> Float64Array:
+    """Focus positions per plane, centered so the Z-Series zero plane is 0.
 
-        Dynamically selects the appropriate z-column based on which has
-        variation (different hardware uses different column names).
-        """
-        z_columns = ["Z Coord [µm]", "Ti2 ZDrive [µm]", "NIDAQ Piezo Z (name: Piezo Z) [µm]"]
+    Different Nikon stands log Z under different column names; the one whose
+    values actually vary across the stack is the drive that moved.
+    """
+    moving = next(
+        (
+            col
+            for col in _Z_COLUMN_CANDIDATES
+            if col in table.columns and table[col].nunique() > 1
+        ),
+        None,
+    )
+    if moving is None:
+        raise ValueError("No varying Z coordinate column found in events")
+    if "Z-Series" not in table.columns:
+        raise ValueError("Missing 'Z-Series' column in events metadata")
 
-        dynamic_z_column = None
-        for z_col in z_columns:
-            if z_col in events_dataframe.columns and events_dataframe[z_col].nunique() > 1:
-                dynamic_z_column = z_col
-                break
+    height = table[moving].to_numpy(dtype=float, copy=True)
+    midplane = table.loc[table["Z-Series"].abs().idxmin(), moving]
+    return height - midplane
 
-        if dynamic_z_column is None:
-            raise ValueError("No varying Z coordinate column found in events")
 
-        if "Z-Series" not in events_dataframe.columns:
-            raise ValueError("Missing 'Z-Series' column in events metadata")
+def _frame_times(table: pd.DataFrame) -> Float64Array:
+    """Per-frame wall-clock times in ms, zeroed at the first frame."""
+    if "Time [s]" not in table.columns:
+        raise ValueError("Missing 'Time [s]' column in events metadata")
+    seconds = table["Time [s]"].to_numpy(dtype=float)
+    return 1e3 * (seconds - seconds.min())
 
-        z_values_um = events_dataframe[dynamic_z_column].to_numpy(dtype=float, copy=True)
-        z_center_index = events_dataframe["Z-Series"].abs().idxmin()
-        z_center = events_dataframe.loc[z_center_index, dynamic_z_column]
-        z_values_um -= z_center
 
-        return z_values_um
+def _spectral_wavelengths(table: pd.DataFrame) -> Float64Array:
+    """Spectral sampling points - unimplemented in the reference too
+    (nikon.py:338-345); same explicit error for parity."""
+    raise NotImplementedError(
+        "Wavelength extraction for spectral imaging is not yet implemented"
+    )
 
-    def _extract_time_coordinates(self, events_dataframe: pd.DataFrame) -> Float64Array:
-        """Extract time coordinates from events, relative to the first frame."""
-        if "Time [s]" not in events_dataframe.columns:
-            raise ValueError("Missing 'Time [s]' column in events metadata")
 
-        t_values_s = events_dataframe["Time [s]"].to_numpy(dtype=float)
-        t_values_ms = 1e3 * (t_values_s - t_values_s.min())
-        return t_values_ms
+def _capture_settings(
+    struct: nd2.ChannelStruct, facts: _FileFacts, index: int
+) -> AcquisitionSettings:
+    """Detector settings scraped from this channel's 'Sample N:' text block."""
+    block = _text_block(facts, "capturing", "Sample", index)
+    return AcquisitionSettings(
+        exposure_time_s=_exposure_seconds(block),
+        zoom=struct.microscope.zoomMagnification,
+        binning=_binning_label(block),
+    )
 
-    def _extract_wavelength_coordinates(self, events_dataframe: pd.DataFrame) -> Float64Array:
-        """Spectral wavelength extraction (not implemented, matching the
-        reference nikon.py:338-345)."""
-        raise NotImplementedError(
-            "Wavelength extraction for spectral imaging is not yet implemented"
-        )
 
-    def _parse_acquisition_settings(
-        self,
-        nd2_channel: nd2.ChannelStruct,
-        channel_index: int,
-    ) -> AcquisitionSettings:
-        """Parse acquisition settings from nd2 channel metadata and text_info."""
-        sample_text = self._extract_sample_text(channel_index)
-        exposure_time_s = self._parse_exposure_time(sample_text)
-        zoom = nd2_channel.microscope.zoomMagnification
-        binning = self._parse_binning(sample_text)
+def _optical_train(struct: nd2.ChannelStruct) -> MicroscopeConfig:
+    """Objective identity from the channel's microscope record."""
+    mag = struct.microscope.objectiveMagnification
+    return MicroscopeConfig(
+        magnification=int(mag) if mag is not None else 0,
+        numerical_aperture=struct.microscope.objectiveNumericalAperture or 0.0,
+        objective=struct.microscope.objectiveName,
+    )
 
-        return AcquisitionSettings(
-            exposure_time_s=exposure_time_s,
-            zoom=zoom,
-            binning=binning,
-            pixel_dwell_time_us=None,
-            line_scan_speed_hz=None,
-            line_averaging=None,
-            line_accumulation=None,
-            frame_averaging=None,
-            frame_accumulation=None,
-        )
 
-    def _parse_microscope_settings(self, nd2_channel: nd2.ChannelStruct) -> MicroscopeConfig:
-        """Parse microscope settings from nd2 channel metadata."""
-        magnification = nd2_channel.microscope.objectiveMagnification
-        numerical_aperture = nd2_channel.microscope.objectiveNumericalAperture
+def _text_block(facts: _FileFacts, field: str, marker: str, index: int) -> str:
+    """The per-channel section of a NIS free-text field.
 
-        return MicroscopeConfig(
-            magnification=int(magnification) if magnification is not None else 0,
-            numerical_aperture=numerical_aperture or 0.0,
-            objective=nd2_channel.microscope.objectiveName,
-            light_source=None,
-            power_mw=None,
-        )
+    NIS concatenates per-channel settings as "Sample 1: ... Sample 2: ..."
+    (or "Plane #1: ..." in the description field); this slices out channel
+    `index`'s section, falling back to the whole field when unsectioned.
+    """
+    if field not in facts.text_info:
+        raise ValueError(f"Missing '{field}' field in text_info")
+    text = facts.text_info[field]
+    tag = f"{marker} #{index + 1}:" if marker == "Plane" else f"{marker} {index + 1}:"
+    pattern = re.escape(tag).replace(r"\ ", " ") + r"[\s\S]*?(?=" + marker + r" #?\d|$)"
+    found = re.search(pattern, text)
+    return found.group(0) if found else text
 
-    def _extract_sample_text(self, channel_index: int) -> str:
-        """Extract 'Sample' section from text_info for a specific channel."""
-        if "capturing" not in self.text_info:
-            raise ValueError("Missing 'capturing' field in text_info")
 
-        sample_index = channel_index + 1
-        sample_regex = rf"Sample {sample_index}:[\s\S]*?(?=Sample \d|$)"
-        sample_match = re.search(sample_regex, self.text_info["capturing"])
+def _binning_label(block: str) -> str | None:
+    """The camera binning setting (e.g. '2x2') if the block records one."""
+    for line in block.splitlines():
+        if "Binning" in line:
+            return line.split(":")[1].strip()
+    return None
 
-        return sample_match.group(0) if sample_match else self.text_info["capturing"]
 
-    def _extract_plane_text(self, channel_index: int) -> str:
-        """Extract 'Plane' section from text_info for a specific channel."""
-        if "description" not in self.text_info:
-            raise ValueError("Missing 'description' field in text_info")
+def _exposure_seconds(block: str) -> float | None:
+    """The exposure time in seconds, whatever unit the block used."""
+    for line in block.splitlines():
+        if "Exposure" not in line:
+            continue
+        found = re.search(r"Exposure: (\d+(?:\.\d+)?) (\w+)", line)
+        if found:
+            value, unit = found.groups()
+            return _to_seconds(value, unit)
+    return None
 
-        plane_index = channel_index + 1
-        plane_regex = rf"Plane #{plane_index}:[\s\S]*?(?=Plane #\d|$)"
-        plane_match = re.search(plane_regex, self.text_info["description"])
 
-        return plane_match.group(0) if plane_match else self.text_info["description"]
-
-    def _parse_binning(self, sample_text: str) -> str | None:
-        """Parse binning from sample text."""
-        for line in sample_text.splitlines():
-            if "Binning" in line:
-                return line.split(":")[1].strip()
-        return None
-
-    def _parse_exposure_time(self, sample_text: str) -> float | None:
-        """Parse exposure time from sample text, converting to seconds."""
-        pattern = r"Exposure: (\d+(?:\.\d+)?) (\w+)"
-        for line in sample_text.splitlines():
-            if "Exposure" in line:
-                match = re.search(pattern, line)
-                if match:
-                    time, unit = match.groups()
-                    return self._convert_time_to_s(time, unit)
-        return None
-
-    def _parse_power(self, plane_text: str) -> float | None:
-        """Parse laser power percentage from plane text."""
-        pattern = r"Power:\s*(-?\d+(\.\d*)?|-?\.\d+)"
-        for line in plane_text.splitlines():
-            if "Power" in line:
-                match = re.search(pattern, line)
-                if match:
-                    return float(match.group(1))
-        return None
-
-    @staticmethod
-    def _convert_time_to_s(time: str | float, unit: str) -> float:
-        """Convert time to seconds from various units."""
-        time_value = float(time)
-        if "h" in unit:
-            return 3600 * time_value
-        elif unit == "min":
-            return 60 * time_value
-        elif unit == "s":
-            return time_value
-        elif unit == "ms":
-            return time_value / 1000
-        elif unit in ("us", "µs"):
-            return time_value / 1_000_000
-        else:
-            raise ValueError(f"Unknown unit of time: {unit}")
+def _to_seconds(value: str | float, unit: str) -> float:
+    """Convert a (value, unit) pair to seconds; hours spelled any way."""
+    number = float(value)
+    if "h" in unit:
+        return 3600.0 * number
+    if unit in _SECONDS_PER_UNIT:
+        return number * _SECONDS_PER_UNIT[unit]
+    raise ValueError(f"Unknown unit of time: {unit}")
