@@ -22,7 +22,7 @@ from typing import ClassVar, Literal
 import numpy as np
 
 from .core.channels import Channel
-from .measure import convex_areas, extract_outlines
+from .measure import convex_areas, extract_outlines, feret_diameters, region_moments
 from .ops.labeling import clear_border as _clear_border
 from .ops.labeling import label as _label
 from .ops.labeling import relabel_sequential as _relabel_sequential
@@ -61,6 +61,32 @@ _DEVICE_PROPERTIES = {
     "orientation",
     "extent",
 }
+
+# Host-side moment-derived property families (skimage regionprops_table
+# column layout: "moments-p-q", "inertia_tensor-i-j", ...-eigvals-k).
+_MOMENT_PROPERTIES = {
+    "moments",
+    "moments_central",
+    "moments_normalized",
+    "inertia_tensor",
+    "inertia_tensor_eigvals",
+}
+
+SUPPORTED_PROPERTY_NAMES = sorted(
+    _DEVICE_PROPERTIES
+    | _MOMENT_PROPERTIES
+    | {
+        "label",
+        "centroid",
+        "bbox",
+        "area_convex",
+        "solidity",
+        "circularity",
+        "volume",
+        "feret_diameter_max",
+        "equivalent_diameter_area",
+    }
+)
 
 
 def _round_up(n: int, multiple: int = 256) -> int:
@@ -247,6 +273,10 @@ class SegmentationMask:
         properties: dict[str, ScalarArray] = {}
 
         convex = convex_areas(self.label_image) if needs_convex else None
+        needs_moments = bool(_MOMENT_PROPERTIES & set(requested))
+        raw_m = central_m = None
+        if needs_moments:
+            raw_m, central_m = region_moments(self.label_image)
 
         for name in requested:
             if name == "label":
@@ -266,10 +296,53 @@ class SegmentationMask:
             elif name == "solidity":
                 area = dm["area"].astype(np.float64)
                 properties["solidity"] = np.where(convex > 0, area / np.maximum(convex, 1), 0.0)
+            elif name == "moments":
+                for p in range(4):
+                    for q in range(4):
+                        properties[f"moments-{p}-{q}"] = raw_m[:, p, q]
+            elif name == "moments_central":
+                for p in range(4):
+                    for q in range(4):
+                        properties[f"moments_central-{p}-{q}"] = central_m[:, p, q]
+            elif name == "moments_normalized":
+                mu00 = np.maximum(central_m[:, 0, 0], 1e-30)
+                for p in range(4):
+                    for q in range(4):
+                        if p + q < 2:
+                            # undefined below order 2 (skimage leaves nan)
+                            values = np.full(central_m.shape[0], np.nan)
+                        else:
+                            values = central_m[:, p, q] / mu00 ** (1 + (p + q) / 2.0)
+                        properties[f"moments_normalized-{p}-{q}"] = values
+            elif name in ("inertia_tensor", "inertia_tensor_eigvals"):
+                mu00 = np.maximum(central_m[:, 0, 0], 1e-30)
+                t00 = central_m[:, 2, 0] / mu00
+                t11 = central_m[:, 0, 2] / mu00
+                t01 = -central_m[:, 1, 1] / mu00
+                if name == "inertia_tensor":
+                    properties["inertia_tensor-0-0"] = t00
+                    properties["inertia_tensor-0-1"] = t01
+                    properties["inertia_tensor-1-0"] = t01
+                    properties["inertia_tensor-1-1"] = t11
+                else:
+                    half_trace = (t00 + t11) / 2.0
+                    spread = np.sqrt(((t00 - t11) / 2.0) ** 2 + t01**2)
+                    properties["inertia_tensor_eigvals-0"] = half_trace + spread
+                    properties["inertia_tensor_eigvals-1"] = np.maximum(
+                        half_trace - spread, 0.0
+                    )
+            elif name == "feret_diameter_max":
+                properties["feret_diameter_max"] = feret_diameters(self.label_image)
+            elif name == "equivalent_diameter_area":
+                area = dm["area"].astype(np.float64)
+                properties["equivalent_diameter_area"] = np.sqrt(4.0 * area / np.pi)
             elif name in ("circularity", "volume"):
                 continue  # derived below
             else:
-                raise ValueError(f"Unsupported property name: '{name}'")
+                raise ValueError(
+                    f"Unsupported property name: '{name}'. Supported names: "
+                    f"{SUPPORTED_PROPERTY_NAMES}"
+                )
 
         # Derive circularity: (4*pi*area) / perimeter^2, clamped to 0 when
         # perimeter == 0 (reference masks.py:291-297).
@@ -397,22 +470,33 @@ class SegmentationMask:
         properties x pixel_size ("_um"), areas x pixel_size^2 ("_um2"),
         volumes x pixel_size^3 ("_um3"), tensors x pixel_size^2 ("_um2");
         dimensionless properties, intensity stats, labels, and centroid
-        pixel coordinates pass through unchanged.
+        pixel coordinates pass through unchanged. Tensor/eigenvalue columns
+        are classified by their base name, so the suffixed regionprops
+        columns ("inertia_tensor-0-0", "inertia_tensor_eigvals-1") convert
+        correctly (the reference's table lists the base names but its column
+        keys never match them, so tensors silently pass through there).
         """
-        linear_properties = {"perimeter", "axis_major_length", "axis_minor_length"}
+        linear_properties = {
+            "perimeter",
+            "axis_major_length",
+            "axis_minor_length",
+            "feret_diameter_max",
+            "equivalent_diameter_area",
+        }
         area_properties = {"area", "area_convex"}
         volume_properties = {"volume"}
         tensor_properties = {"inertia_tensor", "inertia_tensor_eigvals"}
 
         converted = {}
         for prop_name, prop_values in self.cell_properties.items():
+            base = prop_name.split("-")[0]
             if prop_name in linear_properties:
                 converted[f"{prop_name}_um"] = prop_values * pixel_size_um
             elif prop_name in area_properties:
                 converted[f"{prop_name}_um2"] = prop_values * (pixel_size_um**2)
             elif prop_name in volume_properties:
                 converted[f"{prop_name}_um3"] = prop_values * (pixel_size_um**3)
-            elif prop_name in tensor_properties:
+            elif base in tensor_properties:
                 converted[f"{prop_name}_um2"] = prop_values * (pixel_size_um**2)
             else:
                 converted[prop_name] = prop_values

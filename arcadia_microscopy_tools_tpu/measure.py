@@ -19,7 +19,7 @@ import numpy as np
 
 from .typing import Float64Array, Int64Array
 
-__all__ = ["extract_outlines", "convex_areas"]
+__all__ = ["extract_outlines", "convex_areas", "feret_diameters", "region_moments"]
 
 # Marching-squares segment table: for each 4-bit cell configuration
 # (tl, tr, br, bl), the (entry_edge -> exit_edge) transitions.
@@ -201,6 +201,103 @@ def extract_outlines(
         else:
             outlines.append(np.array([]).reshape(0, 2))
     return outlines
+
+
+def region_moments(label_image: Int64Array, order: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Raw and central spatial moments per cell, skimage conventions.
+
+    For each label k, M[p, q] = sum over the cell's pixels of r^p * c^q with
+    (r, c) relative to the cell's bounding-box corner (skimage computes
+    moments on the cropped region image), for all p, q <= order; central
+    moments mu[p, q] use coordinates relative to the local centroid.
+
+    One vectorized pass: per-cell bbox corners and centroids come from
+    bincounts, then each (p, q) entry is one weighted bincount over the
+    foreground pixels - no per-region Python loop.
+
+    Returns:
+        (M, mu): two (num_cells, order+1, order+1) float64 arrays, ordered
+        by label (index 0 = label 1).
+    """
+    lbl = np.asarray(label_image)
+    n = int(lbl.max())
+    k = order + 1
+    if n == 0:
+        empty = np.zeros((0, k, k))
+        return empty, empty
+
+    ys, xs = np.nonzero(lbl)
+    labels = lbl[ys, xs]
+
+    minr = np.full(n + 1, np.iinfo(np.int64).max)
+    minc = np.full(n + 1, np.iinfo(np.int64).max)
+    np.minimum.at(minr, labels, ys)
+    np.minimum.at(minc, labels, xs)
+
+    # bbox-local coordinates, as skimage's cropped region images use
+    ry = (ys - minr[labels]).astype(np.float64)
+    cx = (xs - minc[labels]).astype(np.float64)
+
+    count = np.bincount(labels, minlength=n + 1).astype(np.float64)
+    count = np.maximum(count, 1.0)
+    cy = np.bincount(labels, weights=ry, minlength=n + 1) / count
+    ccx = np.bincount(labels, weights=cx, minlength=n + 1) / count
+
+    ry_pows = np.stack([ry**p for p in range(k)])  # (k, N)
+    cx_pows = np.stack([cx**q for q in range(k)])
+    dy = ry - cy[labels]
+    dx = cx - ccx[labels]
+    dy_pows = np.stack([dy**p for p in range(k)])
+    dx_pows = np.stack([dx**q for q in range(k)])
+
+    raw = np.zeros((n + 1, k, k))
+    central = np.zeros((n + 1, k, k))
+    for p in range(k):
+        for q in range(k):
+            raw[:, p, q] = np.bincount(
+                labels, weights=ry_pows[p] * cx_pows[q], minlength=n + 1
+            )
+            central[:, p, q] = np.bincount(
+                labels, weights=dy_pows[p] * dx_pows[q], minlength=n + 1
+            )
+    return raw[1:], central[1:]
+
+
+def feret_diameters(label_image: Int64Array) -> np.ndarray:
+    """Maximum Feret diameter per cell, ordered by label.
+
+    skimage's convention: the largest distance between points of the convex
+    hull of the 0.5-level marching-squares contour around the (padded)
+    region. Computed here as the max pairwise distance over each cell's
+    sub-pixel contour points (the maximum is attained at hull vertices, so
+    the hull step is unnecessary).
+    """
+    lbl = np.asarray(label_image)
+    n = int(lbl.max())
+    h, w = lbl.shape
+    out = np.zeros(n, dtype=np.float64)
+    ys, xs = np.nonzero(lbl)
+    order = lbl[ys, xs]
+    for k in range(1, n + 1):
+        sel = order == k
+        if not sel.any():
+            continue
+        cy, cx = ys[sel], xs[sel]
+        minr, minc = cy.min(), cx.min()
+        crop = lbl[minr : cy.max() + 1, minc : cx.max() + 1] == k
+        contours = _marching_squares(np.pad(crop.astype(np.uint8), 1))
+        if not contours:
+            continue
+        pts = np.concatenate(contours, axis=0)
+        # monotone reduction: hull via cv2 when many points, else brute force
+        if len(pts) > 400:
+            import cv2
+
+            hull = cv2.convexHull(pts.astype(np.float32)).reshape(-1, 2)
+            pts = hull.astype(np.float64)
+        diff = pts[:, None, :] - pts[None, :, :]
+        out[k - 1] = np.sqrt((diff**2).sum(-1).max())
+    return out
 
 
 def convex_areas(label_image: Int64Array) -> np.ndarray:

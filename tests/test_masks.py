@@ -164,6 +164,116 @@ class TestCellProperties:
         mask = _make_mask(interior_cell_image)
         assert mask.cell_properties["solidity"][0] > 0.92
 
+    def test_moments_match_bruteforce(self, multi_cell_image):
+        """Raw/central moments equal the per-region numpy definition
+        (bbox-local coordinates, skimage convention)."""
+        mask = SegmentationMask(
+            mask_image=multi_cell_image,
+            remove_edge_cells=False,
+            property_names=["label", "moments", "moments_central"],
+        )
+        props = mask.cell_properties
+        lbl = mask.label_image
+        for k in range(1, mask.num_cells + 1):
+            ys, xs = np.nonzero(lbl == k)
+            ry = (ys - ys.min()).astype(float)
+            cx = (xs - xs.min()).astype(float)
+            dy = ry - ry.mean()
+            dx = cx - cx.mean()
+            for p in range(4):
+                for q in range(4):
+                    np.testing.assert_allclose(
+                        props[f"moments-{p}-{q}"][k - 1],
+                        (ry**p * cx**q).sum(),
+                        rtol=1e-10,
+                    )
+                    np.testing.assert_allclose(
+                        props[f"moments_central-{p}-{q}"][k - 1],
+                        (dy**p * dx**q).sum(),
+                        rtol=1e-9,
+                        atol=1e-6,
+                    )
+
+    def test_inertia_tensor_consistent_with_axes(self, interior_cell_image):
+        """Eigenvalues of the inertia tensor reproduce the axis lengths the
+        device kernel reports (skimage: major = 4*sqrt(lam_max))."""
+        mask = SegmentationMask(
+            mask_image=interior_cell_image,
+            remove_edge_cells=False,
+            property_names=[
+                "label",
+                "inertia_tensor",
+                "inertia_tensor_eigvals",
+                "axis_major_length",
+                "axis_minor_length",
+            ],
+        )
+        props = mask.cell_properties
+        lam0 = props["inertia_tensor_eigvals-0"][0]
+        lam1 = props["inertia_tensor_eigvals-1"][0]
+        assert lam0 >= lam1
+        np.testing.assert_allclose(
+            4 * np.sqrt(lam0), props["axis_major_length"][0], rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            4 * np.sqrt(lam1), props["axis_minor_length"][0], rtol=1e-4
+        )
+        # tensor trace = sum of eigenvalues
+        np.testing.assert_allclose(
+            props["inertia_tensor-0-0"][0] + props["inertia_tensor-1-1"][0],
+            lam0 + lam1,
+            rtol=1e-10,
+        )
+
+    def test_feret_diameter_of_disk(self, interior_cell_image):
+        """A radius-r disk's max Feret diameter is ~2r (sub-pixel contour)."""
+        mask = SegmentationMask(
+            mask_image=interior_cell_image,
+            remove_edge_cells=False,
+            property_names=["label", "feret_diameter_max"],
+        )
+        d = mask.cell_properties["feret_diameter_max"][0]
+        assert 15.0 <= d <= 19.0  # interior_cell_image has a radius-8 disk
+
+    def test_moments_normalized_scale_invariant(self):
+        """Normalized central moments are identical for scaled disks."""
+        a = make_label_image(shape=(64, 64), cells=[(32, 32, 8)])
+        b = make_label_image(shape=(128, 128), cells=[(64, 64, 16)])
+        out = []
+        for img in (a, b):
+            m = SegmentationMask(
+                mask_image=img,
+                remove_edge_cells=False,
+                property_names=["label", "moments_normalized"],
+            )
+            out.append(m.cell_properties["moments_normalized-2-0"][0])
+        np.testing.assert_allclose(out[0], out[1], rtol=0.05)
+
+    def test_unsupported_property_lists_supported(self, interior_cell_image):
+        mask = SegmentationMask(
+            mask_image=interior_cell_image,
+            remove_edge_cells=False,
+            property_names=["label", "definitely_not_a_property"],
+        )
+        with pytest.raises(ValueError, match="Supported names"):
+            _ = mask.cell_properties
+
+    def test_micron_conversion_reaches_tensors(self, interior_cell_image):
+        mask = SegmentationMask(
+            mask_image=interior_cell_image,
+            remove_edge_cells=False,
+            property_names=["label", "inertia_tensor_eigvals", "feret_diameter_max"],
+        )
+        converted = mask.convert_properties_to_microns(0.5)
+        base = mask.cell_properties
+        np.testing.assert_allclose(
+            converted["inertia_tensor_eigvals-0_um2"],
+            base["inertia_tensor_eigvals-0"] * 0.25,
+        )
+        np.testing.assert_allclose(
+            converted["feret_diameter_max_um"], base["feret_diameter_max"] * 0.5
+        )
+
     def test_area_matches_pixel_count(self, multi_cell_image):
         mask = _make_mask(multi_cell_image)
         areas = mask.cell_properties["area"]
