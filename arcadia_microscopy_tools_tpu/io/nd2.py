@@ -368,28 +368,40 @@ class ND2File:
             raise ND2ParseError(f"Unsupported bits-per-component: {bpc}")
         stride = int(self._attributes.get("uiWidthBytes", width * n_comp * dtype.itemsize))
         pixels = np.frombuffer(data, dtype=np.uint8, offset=8)
-        rows = pixels[: height * stride].reshape(height, stride)
         row_bytes = width * n_comp * dtype.itemsize
-        frame_bytes = np.ascontiguousarray(rows[:, :row_bytes])
+        if stride == row_bytes:
+            # tight rows: one zero-copy view of the chunk buffer
+            frame_bytes = pixels[: height * row_bytes]
+        else:
+            rows = pixels[: height * stride].reshape(height, stride)
+            frame_bytes = np.ascontiguousarray(rows[:, :row_bytes]).reshape(-1)
         return frame_bytes.view(dtype).reshape(height, width, n_comp)
 
     def asarray(self) -> np.ndarray:
-        """Full dataset shaped per `sizes` (loops..., [C], Y, X)."""
+        """Full dataset shaped per `sizes` (loops..., [C], Y, X).
+
+        One allocation + one pass: each frame's interleaved (Y, X, C) view is
+        transposed directly into the planar output (numpy assignment handles
+        the de-interleave), instead of stack + moveaxis + ascontiguousarray
+        (three full copies at 2048^2 x 4 channels).
+        """
         seq_count = int(self._attributes.get("uiSequenceCount", 1))
-        frames = np.stack([self._read_frame(i) for i in range(seq_count)])
         sizes = self.sizes
         height, width = sizes["Y"], sizes["X"]
-        n_comp = frames.shape[-1]
+        first = self._read_frame(0)
+        n_comp = first.shape[-1]
 
         loop_shape = tuple(loop.count for loop in self._loops)
-        arr = frames.reshape(loop_shape + (height, width, n_comp))
-        # Move the component axis in front of Y, X (nd2 convention: C before Y/X)
-        if n_comp > 1:
-            arr = np.moveaxis(arr, -1, len(loop_shape))
-        else:
-            arr = arr[..., 0]
+        out = np.empty(loop_shape + ((n_comp,) if n_comp > 1 else ()) + (height, width), first.dtype)
+        flat = out.reshape((seq_count,) + out.shape[len(loop_shape) :])
+        for i in range(seq_count):
+            frame = first if i == 0 else self._read_frame(i)
+            if n_comp > 1:
+                flat[i] = frame.transpose(2, 0, 1)
+            else:
+                flat[i] = frame[..., 0]
         expected = tuple(sizes.values())
-        return np.ascontiguousarray(arr.reshape(expected))
+        return out.reshape(expected)
 
     # -- text info -------------------------------------------------------------------
 

@@ -47,11 +47,86 @@ def tile_image(img: np.ndarray, spec: TileSpec) -> tuple[np.ndarray, list[tuple[
     return out, origins
 
 
+def _union_seam_pairs(full: np.ndarray, seams_y: list[int], seams_x: list[int]) -> np.ndarray:
+    """Union-find over 8-connected label pairs across tile seams.
+
+    Returns the relabeled image: components split by tiling are merged and
+    labels are compacted to consecutive 1..N in first-pixel scan order.
+    """
+    h, w = full.shape
+    pairs = []
+    for y0 in seams_y:
+        if not 0 < y0 < h:
+            continue
+        a = full[y0 - 1, :]
+        b = full[y0, :]
+        for dx in (-1, 0, 1):
+            bb = np.roll(b, -dx)
+            if dx > 0:
+                bb[-dx:] = 0
+            elif dx < 0:
+                bb[:-dx] = 0
+            sel = (a > 0) & (bb > 0)
+            if sel.any():
+                pairs.append(np.stack([a[sel], bb[sel]], axis=1))
+    for x0 in seams_x:
+        if not 0 < x0 < w:
+            continue
+        a = full[:, x0 - 1]
+        b = full[:, x0]
+        for dy in (-1, 0, 1):
+            bb = np.roll(b, -dy)
+            if dy > 0:
+                bb[-dy:] = 0
+            elif dy < 0:
+                bb[:-dy] = 0
+            sel = (a > 0) & (bb > 0)
+            if sel.any():
+                pairs.append(np.stack([a[sel], bb[sel]], axis=1))
+
+    n = int(full.max())
+    parent = np.arange(n + 1, dtype=np.int64)
+
+    def find(v: int) -> int:
+        root = v
+        while parent[root] != root:
+            root = parent[root]
+        while parent[v] != root:  # path compression
+            parent[v], v = root, parent[v]
+        return root
+
+    if pairs:
+        for a, b in np.unique(np.concatenate(pairs), axis=0):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    roots = np.array([find(v) for v in range(n + 1)], dtype=np.int64)
+    merged = roots[full]
+
+    # compact to consecutive labels in first-pixel scan order
+    flat = merged.ravel()
+    first_pos = np.full(n + 1, flat.size, dtype=np.int64)
+    nz = np.nonzero(flat)[0]
+    np.minimum.at(first_pos, flat[nz], nz)
+    live = np.nonzero(first_pos < flat.size)[0]
+    order = live[np.argsort(first_pos[live])]
+    remap = np.zeros(n + 1, dtype=np.int64)
+    remap[order] = np.arange(1, len(order) + 1)
+    return remap[merged]
+
+
 def stitch_labels(
     tiles: np.ndarray, origins: list[tuple[int, int]], shape: tuple[int, int], spec: TileSpec
 ) -> np.ndarray:
-    """Reassemble per-tile label images into a full-frame label image with
-    globally unique labels (tile-local labels are offset per tile)."""
+    """Reassemble per-tile label images into one full-frame labeling.
+
+    Tile-local labels are first made globally unique by per-tile offsets,
+    then components that straddle a tile seam are merged by a union-find
+    over 8-connected label pairs along every seam, and labels are compacted
+    to 1..N in scan order - so a cell crossing tile borders is ONE cell,
+    matching an untiled labeling exactly (up to the labeler's own output).
+    """
     h, w = shape
     t, halo = spec.tile, spec.halo
     full = np.zeros((h, w), dtype=np.int64)
@@ -66,7 +141,12 @@ def stitch_labels(
         n = int(core.max())
         full[y : y + hh, x : x + ww] = np.where(core > 0, core + offset, 0)
         offset += n
-    return full
+
+    seams_y = sorted({y for (y, _) in origins if y > 0})
+    seams_x = sorted({x for (_, x) in origins if x > 0})
+    if not seams_y and not seams_x:
+        return full
+    return _union_seam_pairs(full, seams_y, seams_x)
 
 
 class TileSource:

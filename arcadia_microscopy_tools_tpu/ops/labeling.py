@@ -164,7 +164,20 @@ def _boundary_pairs(lbl: jax.Array, sentinel, offsets, block):
     return jnp.concatenate(pairs_a), jnp.concatenate(pairs_b)
 
 
-def _local_phase(fg: jax.Array, connectivity: int) -> tuple[jax.Array, int]:
+def _pallas_viable(shape: tuple[int, int], allow_pallas: bool) -> bool:
+    h, w = shape
+    return (
+        allow_pallas
+        and _USE_PALLAS_LOCAL
+        and h % 128 == 0
+        and w % 128 == 0
+        and jax.devices()[0].platform != "cpu"
+    )
+
+
+def _local_phase(
+    fg: jax.Array, connectivity: int, allow_pallas: bool = True
+) -> tuple[jax.Array, int]:
     """Phase 1: in-block root indices (sentinel = H*W on background).
 
     Returns (labels, block) where `block` is the tile size whose edges the
@@ -175,13 +188,7 @@ def _local_phase(fg: jax.Array, connectivity: int) -> tuple[jax.Array, int]:
     sentinel = jnp.int32(n)
     offsets = _NEIGHBORS_8 if connectivity == 2 else _NEIGHBORS_4
 
-    pallas_ok = (
-        _USE_PALLAS_LOCAL
-        and h % 128 == 0
-        and w % 128 == 0
-        and jax.devices()[0].platform != "cpu"
-    )
-    if pallas_ok:
+    if _pallas_viable((h, w), allow_pallas):
         from .cc_pallas import PALLAS_CC_BLOCK, local_cc_pallas
 
         return jnp.where(fg, local_cc_pallas(fg, connectivity), sentinel), PALLAS_CC_BLOCK
@@ -208,20 +215,16 @@ def _local_phase(fg: jax.Array, connectivity: int) -> tuple[jax.Array, int]:
     return lbl, _BLOCK
 
 
-def _local_resweep(fg: jax.Array, init: jax.Array, connectivity: int, block: int) -> jax.Array:
+def _local_resweep(
+    fg: jax.Array, init: jax.Array, connectivity: int, block: int, allow_pallas: bool = True
+) -> jax.Array:
     """Seeded phase-1 rerun: min-propagate `init` to the in-block fixpoint."""
     h, w = fg.shape
     n = h * w
     sentinel = jnp.int32(n)
     offsets = _NEIGHBORS_8 if connectivity == 2 else _NEIGHBORS_4
 
-    pallas_ok = (
-        _USE_PALLAS_LOCAL
-        and h % 128 == 0
-        and w % 128 == 0
-        and jax.devices()[0].platform != "cpu"
-    )
-    if pallas_ok and block == 128:
+    if _pallas_viable((h, w), allow_pallas) and block == 128:
         from .cc_pallas import local_resweep_pallas
 
         return jnp.where(fg, local_resweep_pallas(fg, init, connectivity), sentinel)
@@ -376,9 +379,12 @@ def _seed_boundary_strips(lbl, keys, roots, n, block):
     return out
 
 
-@partial(jax.jit, static_argnames=("connectivity", "pair_cap"))
+@partial(jax.jit, static_argnames=("connectivity", "pair_cap", "allow_pallas"))
 def component_roots(
-    fg: jax.Array, connectivity: int = 2, pair_cap: int = 65536
+    fg: jax.Array,
+    connectivity: int = 2,
+    pair_cap: int = 65536,
+    allow_pallas: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-pixel component root indices, gather-free.
 
@@ -400,11 +406,11 @@ def component_roots(
     sentinel = jnp.int32(n)
     offsets = _NEIGHBORS_8 if connectivity == 2 else _NEIGHBORS_4
 
-    lbl, block = _local_phase(fg, connectivity)
+    lbl, block = _local_phase(fg, connectivity, allow_pallas)
     La, Lb = _boundary_pairs(lbl, sentinel, offsets, block)
     keys, roots, _ = _merge_boundary_pairs(La, Lb, n, pair_cap)
     lbl = _seed_boundary_strips(lbl, keys, roots, n, block)
-    lbl = _local_resweep(fg, lbl, connectivity, block)
+    lbl = _local_resweep(fg, lbl, connectivity, block, allow_pallas)
 
     # convergence certificate: the labeling is a fixpoint iff no pixel sees a
     # smaller neighbor label (one fused VPU pass + reduce)

@@ -60,10 +60,12 @@ def create_mesh(config: MeshConfig | None = None) -> Mesh:
 
 
 def well_sharding(mesh: Mesh, *, spatial: bool = False) -> NamedSharding:
-    """Sharding for a (B, ...) well batch: batch over the wells axis; when
-    `spatial`, also shard the first spatial axis (Y) over the space axis."""
+    """Sharding for a (B, C, H, W) well batch: batch over the wells axis;
+    when `spatial`, additionally shard the image rows (H) over the space
+    axis, so one well's frame spans several chips (XLA inserts the halo /
+    reduction collectives for the stencil and histogram stages)."""
     if spatial:
-        return NamedSharding(mesh, PartitionSpec(WELL_AXIS, SPACE_AXIS))
+        return NamedSharding(mesh, PartitionSpec(WELL_AXIS, None, SPACE_AXIS, None))
     return NamedSharding(mesh, PartitionSpec(WELL_AXIS))
 
 

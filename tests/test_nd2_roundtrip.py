@@ -1,0 +1,85 @@
+"""ND2 writer/reader round-trip: synthesized containers close the reader's
+coverage gap the same way lif_builder does for the Leica path."""
+
+import numpy as np
+import pytest
+
+from nd2_builder import write_nd2
+
+from arcadia_microscopy_tools_tpu import MicroscopyImage
+from arcadia_microscopy_tools_tpu.io.nd2 import ND2File
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+class TestMultichannel:
+    def test_pixels_roundtrip_exact(self, rng, tmp_path):
+        img = (rng.random((4, 96, 64)) * 60000).astype(np.uint16)
+        path = write_nd2(tmp_path / "mc.nd2", img, channel_names=["DAPI", "FITC", "TRITC", "CY5"])
+        loaded = MicroscopyImage.from_nd2_path(path)
+        assert loaded.sizes == {"C": 4, "Y": 96, "X": 64}
+        np.testing.assert_array_equal(np.asarray(loaded.intensities), img)
+
+    def test_channels_resolved_by_name(self, rng, tmp_path):
+        img = (rng.random((2, 32, 32)) * 100).astype(np.uint16)
+        path = write_nd2(tmp_path / "mc.nd2", img, channel_names=["DAPI", "GFP"])
+        loaded = MicroscopyImage.from_nd2_path(path)
+        # GFP resolves through the Nikon alias to FITC
+        assert [c.name for c in loaded.channels] == ["DAPI", "FITC"]
+
+    def test_metadata_fields(self, rng, tmp_path):
+        img = (rng.random((1, 32, 32)) * 100).astype(np.uint16)
+        path = write_nd2(
+            tmp_path / "m.nd2",
+            img,
+            channel_names=["DAPI"],
+            calibration_um=0.5,
+            magnification=40.0,
+            numerical_aperture=1.15,
+            objective="Apo LWD 40x WI",
+        )
+        cm = MicroscopyImage.from_nd2_path(path).metadata.instrument.channel_metadata_list[0]
+        assert cm.resolution.xy_step_um == 0.5
+        assert cm.optics.magnification == 40
+        assert cm.optics.numerical_aperture == 1.15
+        assert cm.optics.objective == "Apo LWD 40x WI"
+        assert cm.acquisition.exposure_time_s == 0.1
+        assert cm.acquisition.binning == "1x1"
+
+    def test_reader_surface(self, rng, tmp_path):
+        img = (rng.random((2, 48, 48)) * 100).astype(np.uint16)
+        path = write_nd2(tmp_path / "s.nd2", img, channel_names=["DAPI", "FITC"])
+        with ND2File(path) as f:
+            assert f.sizes == {"C": 2, "Y": 48, "X": 48}
+            assert f.metadata.contents.channelCount == 2
+            assert "date" in f.text_info and "capturing" in f.text_info
+
+
+class TestTimelapse:
+    def test_time_axis_and_events(self, rng, tmp_path):
+        stack = (rng.random((6, 32, 32)) * 100).astype(np.uint16)
+        path = write_nd2(
+            tmp_path / "t.nd2", stack, channel_names=["FITC"], time_loop=True,
+            t_interval_ms=250.0,
+        )
+        loaded = MicroscopyImage.from_nd2_path(path)
+        assert loaded.sizes == {"T": 6, "Y": 32, "X": 32}
+        assert loaded.dimensions.is_timelapse
+        cm = loaded.metadata.instrument.channel_metadata_list[0]
+        assert cm.resolution.t_size_px == 6
+        np.testing.assert_allclose(
+            cm.measured.t_values_ms, np.arange(6) * 250.0
+        )
+        np.testing.assert_array_equal(np.asarray(loaded.intensities), stack)
+
+    def test_multichannel_timelapse(self, rng, tmp_path):
+        stack = (rng.random((3, 2, 32, 32)) * 100).astype(np.uint16)
+        path = write_nd2(
+            tmp_path / "tc.nd2", stack, channel_names=["DAPI", "FITC"], time_loop=True
+        )
+        loaded = MicroscopyImage.from_nd2_path(path)
+        assert loaded.sizes == {"T": 3, "C": 2, "Y": 32, "X": 32}
+        np.testing.assert_array_equal(np.asarray(loaded.intensities), stack)

@@ -221,6 +221,29 @@ class TestPlateRunner:
             results = runner.run(layout, wells)
         assert results.failed_wells == list(layout.well_ids)
 
+    def test_spatial_sharding_matches_single_chip(self, rng):
+        """space_parallelism > 1 routes frames through row sharding; the
+        results must equal the wells-only run exactly (XLA's partitioner is
+        semantics-preserving; this pins the wiring, which round 1 left
+        dead)."""
+        layout = self._layout(2)
+        wells = {w: synth_well(rng, size=256, n_cells=10) for w in layout.well_ids}
+        cfg = PlateRunConfig(max_cells=64, min_size=20)
+
+        plain = PlateRunner(cfg, MeshConfig(space_parallelism=1)).run(layout, wells)
+        sharded = PlateRunner(cfg, MeshConfig(space_parallelism=4)).run(layout, wells)
+
+        assert not sharded.failed_wells
+        for w in layout.well_ids:
+            a = plain.tables[w].reset_index(drop=True)
+            b = sharded.tables[w].reset_index(drop=True)
+            assert list(a.columns) == list(b.columns)
+            for col in a.columns:
+                np.testing.assert_allclose(
+                    a[col].to_numpy(), b[col].to_numpy(), rtol=1e-5, atol=1e-5,
+                    err_msg=col,
+                )
+
     def test_partial_batch_padding(self, rng):
         # 5 wells with an 8-wide mesh: final batch is padded internally
         layout = self._layout(5)
