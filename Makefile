@@ -1,4 +1,4 @@
-.PHONY: test test-fast lint bench train dryrun native
+.PHONY: test test-fast lint bench train dryrun native docs accuracy
 
 native:
 	mkdir -p arcadia_microscopy_tools_tpu/_native
@@ -12,6 +12,13 @@ test-fast:
 
 lint:
 	python -m compileall -q arcadia_microscopy_tools_tpu tests bench.py __graft_entry__.py
+	python tools/lint.py
+
+docs:
+	python docs/build.py
+
+accuracy:
+	python tools/accuracy_eval.py
 
 bench:
 	python bench.py

@@ -1,7 +1,7 @@
 """Blending facade (reference module parity:
 `src/arcadia_microscopy_tools/blending.py`)."""
 
-from .viz.blending import (
+from .viz.blending import (  # noqa: F401 - test-visible helpers re-exported
     BlendMode,
     Layer,
     _blend_additive,

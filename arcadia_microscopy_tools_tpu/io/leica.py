@@ -224,7 +224,10 @@ def _required(node: ET.Element, attribute: str) -> str:
 def _channel_properties(node: ET.Element) -> dict[str, str]:
     """The <ChannelProperty> key/value pairs of one <ChannelDescription>."""
     # the fixed attributes must be present for a conformant channel
-    for attribute in ("DataType", "ChannelTag", "Resolution", "LUTName", "BytesInc", "BitInc", "Min", "Max"):
+    required_attrs = (
+        "DataType", "ChannelTag", "Resolution", "LUTName", "BytesInc", "BitInc", "Min", "Max",
+    )
+    for attribute in required_attrs:
         _required(node, attribute)
     pairs: dict[str, str] = {}
     for prop in node.findall("ChannelProperty"):

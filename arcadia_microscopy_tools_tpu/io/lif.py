@@ -124,7 +124,9 @@ class LifImage:
         stride), with the channel axis placed by the channel BytesInc."""
         dims = self._dim_records()
         axes: list[tuple[int, str, int]] = [
-            (d["bytes_inc"], d["label"], d["n"]) for d in dims if d["n"] > 1 or d["label"] in ("X", "Y")
+            (d["bytes_inc"], d["label"], d["n"])
+            for d in dims
+            if d["n"] > 1 or d["label"] in ("X", "Y")
         ]
         if len(self._channels) > 1:
             # channel stride = spacing between per-channel BytesInc values
@@ -150,7 +152,9 @@ class LifImage:
         dims = self._dim_records()
         dtype = self.dtype
         axes: list[tuple[int, str, int]] = [
-            (d["bytes_inc"], d["label"], d["n"]) for d in dims if d["n"] > 1 or d["label"] in ("X", "Y")
+            (d["bytes_inc"], d["label"], d["n"])
+            for d in dims
+            if d["n"] > 1 or d["label"] in ("X", "Y")
         ]
         first_inc = int(self._channels[0].get("BytesInc", "0")) if self._channels else 0
         if len(self._channels) > 1:

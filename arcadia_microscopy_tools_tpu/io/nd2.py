@@ -392,7 +392,8 @@ class ND2File:
         n_comp = first.shape[-1]
 
         loop_shape = tuple(loop.count for loop in self._loops)
-        out = np.empty(loop_shape + ((n_comp,) if n_comp > 1 else ()) + (height, width), first.dtype)
+        comp_axis = (n_comp,) if n_comp > 1 else ()
+        out = np.empty(loop_shape + comp_axis + (height, width), first.dtype)
         flat = out.reshape((seq_count,) + out.shape[len(loop_shape) :])
         for i in range(seq_count):
             frame = first if i == 0 else self._read_frame(i)
@@ -554,7 +555,8 @@ class ND2File:
             if loop.kind == "Z":
                 pars = loop.parameters
                 step = float(pars.get("dZStep", 0.0)) or 1.0
-                home = round((float(pars.get("dZHome", 0.0)) - float(pars.get("dZLow", 0.0))) / step)
+                span = float(pars.get("dZHome", 0.0)) - float(pars.get("dZLow", 0.0))
+                home = round(span / step)
                 indices = self._loop_indices(loop)
                 columns["Z-Series"] = (indices - home).astype(float)
 

@@ -21,8 +21,16 @@ def synthesize_cells(
     radius_range: tuple[float, float] = (8.0, 18.0),
     eccentricity_max: float = 0.6,
     noise: float = 0.05,
+    separation: float = 0.9,
+    gradient: float = 0.1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Generate one synthetic image and its label mask.
+
+    Args:
+        separation: Minimum center distance as a fraction of the radius sum.
+            0.9 (default) keeps cells mostly apart; ~0.6 produces heavily
+            touching clusters (the hard case for instance segmentation).
+        gradient: Total illumination-gradient amplitude across the frame.
 
     Returns:
         (image float32 (H, W) in [0, 1], labels int32 (H, W)).
@@ -40,8 +48,10 @@ def synthesize_cells(
         r = rng.uniform(*radius_range)
         cy = rng.uniform(r + 2, h - r - 2)
         cx = rng.uniform(r + 2, w - r - 2)
-        # keep centers separated to avoid heavy merging
-        if any((cy - oy) ** 2 + (cx - ox) ** 2 < (0.9 * (r + orr)) ** 2 for oy, ox, orr in centers):
+        if any(
+            (cy - oy) ** 2 + (cx - ox) ** 2 < (separation * (r + orr)) ** 2
+            for oy, ox, orr in centers
+        ):
             continue
         centers.append((cy, cx, r))
         ecc = rng.uniform(0, eccentricity_max)
@@ -56,12 +66,14 @@ def synthesize_cells(
         placed += 1
         labels[new] = placed
         # graded interior + bright rim
-        profile = np.where(inside, 0.55 + 0.25 * np.exp(-3 * d) + 0.3 * np.exp(-((1 - d) * 4) ** 2), 0.0)
+        shade = 0.55 + 0.25 * np.exp(-3 * d) + 0.3 * np.exp(-((1 - d) * 4) ** 2)
+        profile = np.where(inside, shade, 0.0)
         image = np.where(new, profile, image)
 
     # illumination gradient + noise
-    gradient = 0.06 * (xx / w) + 0.04 * (yy / h)
-    image = image + gradient + rng.normal(0, noise, shape)
+    gx, gy = rng.uniform(0.3, 0.7), rng.uniform(0.3, 0.7)
+    ramp = gradient * (gx * (xx / w) + gy * (yy / h))
+    image = image + ramp + rng.normal(0, noise, shape)
     image = np.clip(image, 0, 1).astype(np.float32)
 
     # compact labels (cells fully overwritten by later ones would leave gaps)

@@ -32,11 +32,23 @@ MAX_CELLS_TRAIN = 64
 
 def make_batch(rng: np.random.Generator, batch: int, size: int):
     """Host-side synthetic batch: images (B,H,W,3), flow targets (B,H,W,2),
-    cellprob targets (B,H,W)."""
+    cellprob targets (B,H,W).
+
+    Difficulty is sampled per image: separation down to 0.55 radius-sums
+    (heavily touching clusters - the case flow segmentation exists for),
+    illumination gradients up to 0.25, and a range of noise levels.
+    """
     images = np.zeros((batch, size, size, 3), np.float32)
     labels = np.zeros((batch, size, size), np.int32)
     for i in range(batch):
-        img, lbl = synthesize_cells(rng, (size, size), n_cells=int(rng.integers(8, 28)))
+        img, lbl = synthesize_cells(
+            rng,
+            (size, size),
+            n_cells=int(rng.integers(8, 28)),
+            separation=float(rng.uniform(0.55, 1.0)),
+            gradient=float(rng.uniform(0.0, 0.25)),
+            noise=float(rng.uniform(0.03, 0.09)),
+        )
         images[i] = img[..., None].repeat(3, axis=-1)
         labels[i] = lbl
     return images, labels

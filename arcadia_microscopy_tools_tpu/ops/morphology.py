@@ -55,7 +55,9 @@ def _shift_fold(x: jax.Array, offsets, pad_value: bool, op) -> jax.Array:
     out = None
     base = [slice(None)] * (x.ndim - 2)
     for dy, dx in offsets:
-        idx = tuple(base + [slice(max_dy + dy, max_dy + dy + h), slice(max_dx + dx, max_dx + dx + w)])
+        idx = tuple(
+            base + [slice(max_dy + dy, max_dy + dy + h), slice(max_dx + dx, max_dx + dx + w)]
+        )
         shifted = padded[idx]
         out = shifted if out is None else op(out, shifted)
     return out

@@ -331,7 +331,8 @@ def measure_compacted(
 
     # segment-contiguous ordering: first/last slot of each segment carries its
     # min/max row (roots sort ties by linear index = row-major scan order)
-    isfirst = (seg_ids != jnp.concatenate([jnp.zeros((1,), seg_ids.dtype), seg_ids[:-1]])) & valid_px
+    prev_seg = jnp.concatenate([jnp.zeros((1,), seg_ids.dtype), seg_ids[:-1]])
+    isfirst = (seg_ids != prev_seg) & valid_px
     islast = (seg_ids != jnp.concatenate([seg_ids[1:], jnp.zeros((1,), seg_ids.dtype)])) & valid_px
 
     # pass 2: centered second moments + perimeter + bbox-row indicators

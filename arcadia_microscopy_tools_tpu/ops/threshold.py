@@ -111,7 +111,8 @@ def _yen_from_hist(counts: jax.Array, centers: jax.Array) -> jax.Array:
     b = p2_sq[1:]
     c = p1[:-1] * (1.0 - p1[:-1])
     valid = (a > 0) & (b > 0)
-    crit = jnp.where(valid, jnp.log(jnp.maximum(c * c, 1e-38) / jnp.maximum(a * b, 1e-38)), _NEG_INF)
+    ratio = jnp.maximum(c * c, 1e-38) / jnp.maximum(a * b, 1e-38)
+    crit = jnp.where(valid, jnp.log(ratio), _NEG_INF)
     idx = jnp.argmax(crit)
     return centers[idx]
 

@@ -38,7 +38,7 @@ from ..exceptions import SegmentationWarning
 from ..ops.basic import rescale_by_percentile, subtract_background_dog
 from ..ops.compaction import compact_by_root
 from ..ops.fused import HIST_THRESHOLD_METHODS, fused_classical_mask
-from ..ops.labeling import clear_border, component_roots, label
+from ..ops.labeling import clear_border, component_roots
 from ..ops.morphology import binary_opening, disk
 from ..ops.regionprops import (
     measure_compacted,

@@ -60,7 +60,8 @@ class StageTimer:
         return dict(self.totals)
 
     def dump(self, path: str | Path) -> None:
-        Path(path).write_text(json.dumps({"totals_s": self.totals, "counts": self.counts}, indent=1))
+        payload = {"totals_s": self.totals, "counts": self.counts}
+        Path(path).write_text(json.dumps(payload, indent=1))
 
 
 @contextlib.contextmanager

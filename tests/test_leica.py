@@ -1,14 +1,13 @@
 """Leica LIF reader + parser coverage using synthesized spec-conformant LIF
 files (closing the reference's zero-coverage gap on leica.py)."""
 
-import warnings
 from datetime import datetime
 
 import numpy as np
 import pytest
 
 from arcadia_microscopy_tools_tpu import MicroscopyImage
-from arcadia_microscopy_tools_tpu.channels import E_SHG, FITC, SRS
+from arcadia_microscopy_tools_tpu.channels import FITC, SRS
 from arcadia_microscopy_tools_tpu.exceptions import MetadataWarning
 from arcadia_microscopy_tools_tpu.leica import (
     CRS_STOKES_WAVELENGTH_NM,
@@ -273,10 +272,14 @@ class TestDimensionsAndMeasured:
         rng = np.random.default_rng(0)
         data = (rng.random((1, 4, 16, 16)) * 100).astype(np.uint16)
         tiles = [
-            {"FieldX": "0", "FieldY": "0", "PosX": "0.001000", "PosY": "0.002000", "PosZ": "0.0001"},
-            {"FieldX": "1", "FieldY": "0", "PosX": "0.001100", "PosY": "0.002000", "PosZ": "0.0001"},
-            {"FieldX": "0", "FieldY": "1", "PosX": "0.001000", "PosY": "0.002100", "PosZ": "0.0001"},
-            {"FieldX": "1", "FieldY": "1", "PosX": "0.001100", "PosY": "0.002100", "PosZ": "0.0001"},
+            {"FieldX": "0", "FieldY": "0",
+             "PosX": "0.001000", "PosY": "0.002000", "PosZ": "0.0001"},
+            {"FieldX": "1", "FieldY": "0",
+             "PosX": "0.001100", "PosY": "0.002000", "PosZ": "0.0001"},
+            {"FieldX": "0", "FieldY": "1",
+             "PosX": "0.001000", "PosY": "0.002100", "PosZ": "0.0001"},
+            {"FieldX": "1", "FieldY": "1",
+             "PosX": "0.001100", "PosY": "0.002100", "PosZ": "0.0001"},
         ]
         b = LifBuilder()
         b.add_image(

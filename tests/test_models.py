@@ -3,7 +3,6 @@ strategy: parameter resolution/validation, lazy load caching, failure
 isolation with fake backends - plus mechanism tests the reference can't do:
 perfect-flow mask reconstruction and flow round-trips)."""
 
-import warnings
 from unittest.mock import patch
 
 import numpy as np

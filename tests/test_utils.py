@@ -1,8 +1,6 @@
 """Utility subsystem tests: logging config, tqdm selection, profiling."""
 
-import logging
 
-import numpy as np
 
 from arcadia_microscopy_tools_tpu.utils import configure_logging, get_tqdm
 from arcadia_microscopy_tools_tpu.utils.profiling import StageTimer

@@ -13,19 +13,34 @@ import sys
 from pathlib import Path
 
 PAIRS = [
-    ("arcadia_microscopy_tools_tpu/io/nikon.py", "src/arcadia_microscopy_tools/nikon.py"),
-    ("arcadia_microscopy_tools_tpu/io/leica.py", "src/arcadia_microscopy_tools/leica.py"),
+    (
+        "arcadia_microscopy_tools_tpu/io/nikon.py",
+        "src/arcadia_microscopy_tools/nikon.py",
+    ),
+    (
+        "arcadia_microscopy_tools_tpu/io/leica.py",
+        "src/arcadia_microscopy_tools/leica.py",
+    ),
     (
         "arcadia_microscopy_tools_tpu/core/metadata_structures.py",
         "src/arcadia_microscopy_tools/metadata_structures.py",
     ),
-    ("arcadia_microscopy_tools_tpu/core/microplate.py", "src/arcadia_microscopy_tools/microplate.py"),
-    ("arcadia_microscopy_tools_tpu/core/microscopy.py", "src/arcadia_microscopy_tools/microscopy.py"),
+    (
+        "arcadia_microscopy_tools_tpu/core/microplate.py",
+        "src/arcadia_microscopy_tools/microplate.py",
+    ),
+    (
+        "arcadia_microscopy_tools_tpu/core/microscopy.py",
+        "src/arcadia_microscopy_tools/microscopy.py",
+    ),
     ("arcadia_microscopy_tools_tpu/core/channels.py", "src/arcadia_microscopy_tools/channels.py"),
     ("arcadia_microscopy_tools_tpu/masks.py", "src/arcadia_microscopy_tools/masks.py"),
     ("arcadia_microscopy_tools_tpu/viz/blending.py", "src/arcadia_microscopy_tools/blending.py"),
     ("arcadia_microscopy_tools_tpu/ops/pipeline.py", "src/arcadia_microscopy_tools/pipeline.py"),
-    ("arcadia_microscopy_tools_tpu/models/segmentation.py", "src/arcadia_microscopy_tools/model.py"),
+    (
+        "arcadia_microscopy_tools_tpu/models/segmentation.py",
+        "src/arcadia_microscopy_tools/model.py",
+    ),
 ]
 
 
