@@ -43,6 +43,16 @@ def _load():
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_double),
         ]
+        try:
+            lib.deinterleave_u16.restype = None
+            lib.deinterleave_u16.argtypes = [
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint16),
+            ]
+        except AttributeError:
+            pass  # older .so without the decode kernel
         _LIB = lib
     except OSError:
         _LIB = None
@@ -83,6 +93,25 @@ def trace_outlines(label_image: np.ndarray) -> list[np.ndarray] | None:
         seg = coords[offsets[k] : offsets[k + 1]]
         out.append(seg.astype(np.float64))
     return out
+
+
+def deinterleave_u16(src: np.ndarray, n_px: int, c: int, dst: np.ndarray) -> bool:
+    """Planarize an interleaved uint16 frame ((Y*X, C) -> (C, Y*X)) in C++.
+
+    `src` must be a contiguous uint16 buffer of n_px*c values; `dst` a
+    contiguous uint16 buffer of c*n_px values (written in place). Returns
+    False when the native library (or this kernel) is unavailable.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "deinterleave_u16"):
+        return False
+    lib.deinterleave_u16(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        n_px,
+        c,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    return True
 
 
 def convex_areas(label_image: np.ndarray) -> np.ndarray | None:

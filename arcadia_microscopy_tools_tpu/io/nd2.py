@@ -395,12 +395,26 @@ class ND2File:
         comp_axis = (n_comp,) if n_comp > 1 else ()
         out = np.empty(loop_shape + comp_axis + (height, width), first.dtype)
         flat = out.reshape((seq_count,) + out.shape[len(loop_shape) :])
+
+        native = None
+        if n_comp > 1 and first.dtype == np.uint16:
+            from .. import _native
+
+            native = _native if _native.available() else None
+
         for i in range(seq_count):
             frame = first if i == 0 else self._read_frame(i)
-            if n_comp > 1:
-                flat[i] = frame.transpose(2, 0, 1)
-            else:
+            if n_comp == 1:
                 flat[i] = frame[..., 0]
+            elif native is not None and frame.flags.c_contiguous:
+                # C++ planarize: one sequential read pass scattering to
+                # n_comp sequential write streams (the numpy transpose
+                # assignment strides the source n_comp-fold)
+                native.deinterleave_u16(
+                    frame.reshape(-1), height * width, n_comp, flat[i].reshape(-1)
+                )
+            else:
+                flat[i] = frame.transpose(2, 0, 1)
         expected = tuple(sizes.values())
         return out.reshape(expected)
 

@@ -189,4 +189,49 @@ int convex_areas(const int32_t* label_image, int64_t h, int64_t w,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// ND2 frame de-interleave
+// ---------------------------------------------------------------------------
+// ND2 frames store components interleaved per pixel ((Y, X, C) uint16); the
+// framework wants planar (C, Y, X). One sequential read pass scattering to C
+// sequential write streams - the hot inner loop of host-side ND2 decode.
+//
+// src:    n_px * c uint16 values (interleaved)
+// dst:    c * n_px uint16 values (planar), written
+void deinterleave_u16(const uint16_t* src, int64_t n_px, int32_t c,
+                      uint16_t* dst) {
+    if (c == 1) {
+        std::memcpy(dst, src, (size_t)n_px * sizeof(uint16_t));
+        return;
+    }
+    // unrolled common cases keep the compiler vectorizing
+    if (c == 2) {
+        uint16_t* d0 = dst;
+        uint16_t* d1 = dst + n_px;
+        for (int64_t i = 0; i < n_px; ++i) {
+            d0[i] = src[2 * i];
+            d1[i] = src[2 * i + 1];
+        }
+        return;
+    }
+    if (c == 4) {
+        uint16_t* d0 = dst;
+        uint16_t* d1 = dst + n_px;
+        uint16_t* d2 = dst + 2 * n_px;
+        uint16_t* d3 = dst + 3 * n_px;
+        for (int64_t i = 0; i < n_px; ++i) {
+            d0[i] = src[4 * i];
+            d1[i] = src[4 * i + 1];
+            d2[i] = src[4 * i + 2];
+            d3[i] = src[4 * i + 3];
+        }
+        return;
+    }
+    for (int32_t ch = 0; ch < c; ++ch) {
+        uint16_t* d = dst + (int64_t)ch * n_px;
+        const uint16_t* s = src + ch;
+        for (int64_t i = 0; i < n_px; ++i) d[i] = s[(size_t)i * c];
+    }
+}
+
 }  // extern "C"

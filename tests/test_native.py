@@ -68,3 +68,18 @@ class TestNativeOutlines:
         sm = SegmentationMask(mask_image=lbl, remove_edge_cells=False)
         outlines = sm.cell_outlines
         assert len(outlines) == sm.num_cells
+
+
+class TestDeinterleave:
+    def test_matches_numpy_transpose(self, rng):
+        from arcadia_microscopy_tools_tpu import _native
+
+        if not _native.available():
+            pytest.skip("native library not built")
+        for c in (2, 3, 4, 5):
+            frame = (rng.random((37, 53, c)) * 60000).astype(np.uint16)
+            src = np.ascontiguousarray(frame).reshape(-1)
+            dst = np.empty(c * 37 * 53, dtype=np.uint16)
+            assert _native.deinterleave_u16(src, 37 * 53, c, dst)
+            expected = frame.transpose(2, 0, 1).reshape(-1)
+            np.testing.assert_array_equal(dst, expected)
