@@ -64,38 +64,31 @@ def _srgb_encode(linear: np.ndarray) -> np.ndarray:
     )
 
 
+_VISIBLE_NM = (360.0, 780.0)
+
+
 def wavelength_to_hex(wavelength_nm: float) -> str:
-    """Convert a visible-spectrum wavelength to a hex color string.
+    """Display color (``"#RRGGBB"``) for a monochromatic visible wavelength.
 
-    Args:
-        wavelength_nm: Wavelength in nanometers (360-780).
-
-    Returns:
-        Hex color string, e.g. ``"#1A2BFF"``.
-
-    Raises:
-        ValueError: If wavelength is outside the visible range.
+    The wavelength is mapped through the analytic CIE XYZ fit above, the
+    sRGB primaries matrix, and the sRGB transfer curve, then quantised to
+    8 bits per component. Raises ValueError outside 360-780 nm.
     """
-    if not 360 <= wavelength_nm <= 780:
+    lo, hi = _VISIBLE_NM
+    if not lo <= wavelength_nm <= hi:
         raise ValueError(
-            f"Wavelength must be in the visible range (360-780 nm), got {wavelength_nm} nm"
+            f"Wavelength must be in the visible range ({lo:.0f}-{hi:.0f} nm), "
+            f"got {wavelength_nm} nm"
         )
-    xyz = _wavelength_to_xyz(wavelength_nm)
-    rgb = np.clip(_srgb_encode(_XYZ_TO_SRGB @ xyz), 0, 1)
-    r, g, b = (rgb * 255).astype(int)
-    return f"#{r:02X}{g:02X}{b:02X}"
+    rgb = np.clip(_srgb_encode(_XYZ_TO_SRGB @ _wavelength_to_xyz(wavelength_nm)), 0, 1)
+    return "#" + "".join(f"{int(round(float(v) * 255)):02X}" for v in rgb)
 
 
 @dataclass(frozen=True)
 class Channel:
-    """A microscopy imaging channel.
-
-    Attributes:
-        name: Human-readable channel identifier (e.g. ``"DAPI"``).
-        color: Hex color string used for visualization (e.g. ``"#0033FF"``).
-        excitation_nm: Excitation wavelength in nanometers, if known.
-        emission_nm: Emission wavelength in nanometers, if known.
-    """
+    """One imaging channel: a display name + color, and (for fluorescence
+    modalities) the excitation/emission wavelengths in nanometers. Instances
+    are frozen and hashable so they can key intensity-image dicts."""
 
     name: str
     color: str
@@ -105,10 +98,10 @@ class Channel:
     def __post_init__(self) -> None:
         if not _HEX_RE.match(self.color):
             raise ValueError(f"color must be a hex code like '#FF0000', got '{self.color}'")
-        if self.excitation_nm is not None and self.excitation_nm <= 0:
-            raise ValueError("excitation_nm must be positive")
-        if self.emission_nm is not None and self.emission_nm <= 0:
-            raise ValueError("emission_nm must be positive")
+        for attr in ("excitation_nm", "emission_nm"):
+            value = getattr(self, attr)
+            if value is not None and value <= 0:
+                raise ValueError(f"{attr} must be positive")
 
     @classmethod
     def from_wavelength(
@@ -118,62 +111,60 @@ class Channel:
         name: str | None = None,
         is_excitation: bool = True,
     ) -> Channel:
-        """Create a channel with a color derived from a visible wavelength.
-
-        Args:
-            wavelength_nm: Wavelength in nanometers (360-780).
-            name: Channel name. Defaults to ``"{wavelength}nm"``.
-            is_excitation: If True (default), ``wavelength_nm`` is stored as
-                excitation. Otherwise it is stored as emission.
-        """
-        hex_color = wavelength_to_hex(wavelength_nm)
-        name = name or f"{wavelength_nm:.0f}nm"
-        wl = round(wavelength_nm, 1)
+        """Synthesize a channel for a laser line / emission band at
+        ``wavelength_nm``, coloring it by that wavelength's apparent hue.
+        The wavelength lands in the excitation slot by default, or the
+        emission slot when ``is_excitation=False``."""
+        rounded = round(wavelength_nm, 1)
+        slots = {"excitation_nm": rounded} if is_excitation else {"emission_nm": rounded}
         return cls(
-            name=name,
-            color=hex_color,
-            excitation_nm=wl if is_excitation else None,
-            emission_nm=wl if not is_excitation else None,
+            name=name if name is not None else f"{wavelength_nm:.0f}nm",
+            color=wavelength_to_hex(wavelength_nm),
+            **slots,
         )
 
     def rgb(self) -> tuple[float, float, float]:
-        """Return the channel color as an (r, g, b) float tuple in [0, 1]."""
-        hex_color = self.color.lstrip("#")
-        if len(hex_color) == 3:
-            hex_color = "".join(c * 2 for c in hex_color)
-        return tuple(int(hex_color[i : i + 2], 16) / 255.0 for i in (0, 2, 4))  # type: ignore
+        """The channel color as float (r, g, b) components in [0, 1]."""
+        digits = self.color[1:]
+        if len(digits) == 3:
+            digits = "".join(2 * d for d in digits)
+        r, g, b = (int(digits[k : k + 2], 16) / 255.0 for k in (0, 2, 4))
+        return (r, g, b)
 
 
-# -- Predefined channels ------------------------------------------------------
-# Registry matches the reference channel set (channels.py:88-117).
-
-BRIGHTFIELD = Channel("BRIGHTFIELD", "#FFFFFF")
-DIC = Channel("DIC", "#FFFFFF")
-PHASE = Channel("PHASE", "#DDDDDD")
-DAPI = Channel("DAPI", "#0033FF", excitation_nm=405, emission_nm=450)
-FITC = Channel("FITC", "#07FF00", excitation_nm=488, emission_nm=512)
-TRITC = Channel("TRITC", "#FFBF00", excitation_nm=561, emission_nm=595)
-CY5 = Channel("CY5", "#A30000", excitation_nm=640, emission_nm=665)
-SRS = Channel("SRS", "#E63535")
-E_CARS = Channel("E-CARS", "#AB1299")
-F_CARS = Channel("F-CARS", "#AB1299")
-E_SHG = Channel("E-SHG", "#F29B4F")
-F_SHG = Channel("F-SHG", "#F29B4F")
+# Predefined registry: (name, hex color, excitation nm, emission nm) rows,
+# values matching the reference's channel set (channels.py:88-117). Names with
+# '-' get module constants with '_' (E-CARS -> E_CARS).
+_PREDEFINED: list[tuple[str, str, float | None, float | None]] = [
+    ("BRIGHTFIELD", "#FFFFFF", None, None),
+    ("DIC", "#FFFFFF", None, None),
+    ("PHASE", "#DDDDDD", None, None),
+    ("DAPI", "#0033FF", 405, 450),
+    ("FITC", "#07FF00", 488, 512),
+    ("TRITC", "#FFBF00", 561, 595),
+    ("CY5", "#A30000", 640, 665),
+    ("SRS", "#E63535", None, None),
+    ("E-CARS", "#AB1299", None, None),
+    ("F-CARS", "#AB1299", None, None),
+    ("E-SHG", "#F29B4F", None, None),
+    ("F-SHG", "#F29B4F", None, None),
+]
 
 CHANNELS: dict[str, Channel] = {
-    ch.name: ch
-    for ch in [
-        BRIGHTFIELD,
-        DIC,
-        PHASE,
-        DAPI,
-        FITC,
-        TRITC,
-        CY5,
-        SRS,
-        E_CARS,
-        F_CARS,
-        E_SHG,
-        F_SHG,
-    ]
+    name: Channel(name, color, excitation_nm=ex, emission_nm=em)
+    for name, color, ex, em in _PREDEFINED
 }
+
+# Module-level constants for each registry entry ('-' becomes '_').
+BRIGHTFIELD: Channel = CHANNELS["BRIGHTFIELD"]
+DIC: Channel = CHANNELS["DIC"]
+PHASE: Channel = CHANNELS["PHASE"]
+DAPI: Channel = CHANNELS["DAPI"]
+FITC: Channel = CHANNELS["FITC"]
+TRITC: Channel = CHANNELS["TRITC"]
+CY5: Channel = CHANNELS["CY5"]
+SRS: Channel = CHANNELS["SRS"]
+E_CARS: Channel = CHANNELS["E-CARS"]
+F_CARS: Channel = CHANNELS["F-CARS"]
+E_SHG: Channel = CHANNELS["E-SHG"]
+F_SHG: Channel = CHANNELS["F-SHG"]

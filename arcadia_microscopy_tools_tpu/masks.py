@@ -29,27 +29,18 @@ from .ops.labeling import relabel_sequential as _relabel_sequential
 from .ops.regionprops import measure_intensity_stack, measure_labels
 from .typing import BoolArray, Float64Array, Int64Array, ScalarArray, UInt16Array
 
-DEFAULT_CELL_PROPERTY_NAMES = [
-    "label",
-    "centroid",
-    "volume",
-    "area",
-    "area_convex",
-    "perimeter",
-    "eccentricity",
-    "circularity",
-    "solidity",
-    "axis_major_length",
-    "axis_minor_length",
-    "orientation",
-]
+# Morphology columns produced when the caller does not ask for a specific set.
+# Order matches the reference's defaults so downstream tables line up.
+DEFAULT_CELL_PROPERTY_NAMES = (
+    "label centroid volume area area_convex perimeter eccentricity "
+    "circularity solidity axis_major_length axis_minor_length orientation"
+).split()
 
-DEFAULT_INTENSITY_PROPERTY_NAMES = [
-    "intensity_mean",
-    "intensity_max",
-    "intensity_min",
-    "intensity_std",
-]
+# Per-channel intensity statistics computed by default whenever intensity
+# images are attached.
+DEFAULT_INTENSITY_PROPERTY_NAMES = (
+    "intensity_mean intensity_max intensity_min intensity_std"
+).split()
 
 # Properties computed directly by the device measurement kernel.
 _DEVICE_PROPERTIES = {
@@ -97,21 +88,16 @@ def _process_mask(
     mask_image: BoolArray | Int64Array,
     remove_edge_cells: bool,
 ) -> Int64Array:
-    """Process a mask image by optionally removing edge cells and ensuring
-    consecutive labels (reference masks.py:38-65 semantics: clear border,
-    then label/relabel, erroring when nothing remains).
+    """Normalise user input into a consecutive int64 label image.
 
-    Returns:
-        Processed label image with consecutive labels starting from 1.
-
-    Raises:
-        ValueError: If no cells remain after processing.
+    Boolean masks are connected-component labeled on device; integer masks
+    keep their groupings. Border-touching cells are optionally zeroed first
+    (erroring if that empties the mask), then labels are compacted to
+    1..num_cells. Mirrors the reference's preprocessing contract
+    (masks.py:38-65) with device kernels instead of skimage.
     """
     mask = np.asarray(mask_image)
-    if mask.dtype == bool:
-        lbl = _label(mask)
-    else:
-        lbl = np.asarray(mask).astype(np.int64)
+    lbl = _label(mask) if mask.dtype == bool else mask.astype(np.int64)
 
     if remove_edge_cells:
         lbl = _clear_border(lbl)
@@ -136,23 +122,26 @@ def _extract_outlines_skimage(label_image: Int64Array) -> list[Float64Array]:
 
 @dataclass
 class SegmentationMask:
-    """Container for segmentation mask data and feature extraction.
+    """A labeled cell mask plus everything measured from it.
+
+    Construct one from a boolean foreground mask (connected components are
+    labeled on device) or an integer label image (labels are made consecutive),
+    then read ``cell_properties`` / ``cell_outlines`` / ``centroids_yx`` —
+    each is computed lazily on first access and cached.
 
     Args:
-        mask_image: 2D integer or boolean array where each cell has a unique
-            label (background=0).
-        intensity_image_dict: Optional dict mapping Channel instances to 2D
-            intensity arrays with the same shape as mask_image. Channel names
-            are used as suffixes for intensity properties.
-        remove_edge_cells: Whether to remove cells touching image borders.
-            Defaults to True.
-        outline_extractor: Outline extraction method ("cellpose" or "skimage").
-            Defaults to "cellpose".
-        property_names: List of property names to compute. If None, uses
+        mask_image: 2D array — bool foreground or per-cell integer labels
+            (0 = background).
+        intensity_image_dict: optional {Channel: 2D uint16 plane} whose planes
+            share mask_image's shape; intensity statistics get the lowercased
+            channel name as a suffix ("intensity_mean_dapi").
+        remove_edge_cells: drop cells that touch any image border (default True).
+        outline_extractor: "cellpose" (boundary pixels) or "skimage"
+            (sub-pixel marching squares).
+        property_names: morphology columns to compute; None selects
             DEFAULT_CELL_PROPERTY_NAMES.
-        intensity_property_names: List of intensity property names to compute.
-            If None, uses DEFAULT_INTENSITY_PROPERTY_NAMES when
-            intensity_image_dict is provided.
+        intensity_property_names: intensity statistics to compute; None selects
+            DEFAULT_INTENSITY_PROPERTY_NAMES when intensity planes exist.
     """
 
     mask_image: BoolArray | Int64Array
@@ -162,65 +151,59 @@ class SegmentationMask:
     property_names: list[str] | None = field(default=None)
     intensity_property_names: list[str] | None = field(default=None)
 
-    # Core fields that must not be mutated after initialisation. cached_property
-    # writes directly to instance.__dict__, bypassing __setattr__, so it is
-    # unaffected.
-    _IMMUTABLE_FIELDS: ClassVar[frozenset[str]] = frozenset(
-        {
-            "mask_image",
-            "intensity_image_dict",
-            "remove_edge_cells",
-            "outline_extractor",
-            "property_names",
-            "intensity_property_names",
-        }
-    )
+    # Every dataclass field is frozen once __post_init__ completes; derived
+    # state is allowed through because cached_property stores straight into
+    # __dict__ rather than via attribute assignment.
+    _FROZEN_SENTINEL: ClassVar[str] = "_initialized"
 
     def __setattr__(self, name: str, value: object) -> None:
-        if getattr(self, "_initialized", False) and name in self._IMMUTABLE_FIELDS:
+        frozen = self.__dict__.get(self._FROZEN_SENTINEL, False)
+        if frozen and name in {f for f in self.__dataclass_fields__}:
             raise AttributeError(
                 f"Cannot modify '{name}' after SegmentationMask is initialized. "
                 "Create a new instance instead."
             )
         super().__setattr__(name, value)
 
+    def _check_plane(self, arr: object, what: str) -> None:
+        """Require a 2D numpy array matching the mask's geometry."""
+        if not isinstance(arr, np.ndarray):
+            raise TypeError(f"{what} must be a numpy array")
+        if arr.ndim != 2:
+            raise ValueError(f"{what} must be 2D")
+        if arr.shape != self.mask_image.shape:
+            raise ValueError(f"{what} must have same shape as mask_image")
+
     def __post_init__(self):
-        """Validate inputs and set defaults."""
-        if not isinstance(self.mask_image, np.ndarray):
+        """Validate the mask + intensity planes and fill in default columns."""
+        mask = self.mask_image
+        if not isinstance(mask, np.ndarray):
             raise TypeError("mask_image must be a numpy array")
-        if self.mask_image.ndim != 2:
+        if mask.ndim != 2:
             raise ValueError("mask_image must be a 2D array")
-        if np.any(self.mask_image < 0):
+        lo, hi = (mask.min(), mask.max()) if mask.size else (0, 0)
+        if lo < 0:
             raise ValueError("mask_image must have non-negative values")
-        if self.mask_image.max() == 0:
+        if hi == 0:
             raise ValueError("mask_image contains no cells (all values are 0)")
 
         if self.intensity_image_dict is not None:
             if not isinstance(self.intensity_image_dict, Mapping):
                 raise TypeError("intensity_image_dict must be a Mapping of channels to 2D arrays")
-            for channel, intensities in self.intensity_image_dict.items():
-                if not isinstance(intensities, np.ndarray):
-                    raise TypeError(f"Intensity image for '{channel.name}' must be a numpy array")
-                if intensities.ndim != 2:
-                    raise ValueError(f"Intensity image for '{channel.name}' must be 2D")
-                if intensities.shape != self.mask_image.shape:
-                    raise ValueError(
-                        f"Intensity image for '{channel.name}' must have same shape as mask_image"
-                    )
-            # Shallow-copy so key changes in one instance (e.g. after filter())
-            # do not affect another; the arrays are shared by reference.
+            for channel, plane in self.intensity_image_dict.items():
+                self._check_plane(plane, f"Intensity image for '{channel.name}'")
+            # Own dict, shared arrays: filter() mutating the key set of a
+            # derived instance must not leak back into the source instance.
             self.intensity_image_dict = dict(self.intensity_image_dict)
 
         if self.property_names is None:
-            self.property_names = DEFAULT_CELL_PROPERTY_NAMES.copy()
-
+            self.property_names = list(DEFAULT_CELL_PROPERTY_NAMES)
         if self.intensity_property_names is None:
-            if self.intensity_image_dict:
-                self.intensity_property_names = DEFAULT_INTENSITY_PROPERTY_NAMES.copy()
-            else:
-                self.intensity_property_names = []
+            self.intensity_property_names = (
+                list(DEFAULT_INTENSITY_PROPERTY_NAMES) if self.intensity_image_dict else []
+            )
 
-        object.__setattr__(self, "_initialized", True)
+        object.__setattr__(self, self._FROZEN_SENTINEL, True)
 
     @cached_property
     def label_image(self) -> Int64Array:
@@ -387,9 +370,9 @@ class SegmentationMask:
 
     @cached_property
     def centroids_yx(self) -> Float64Array:
-        """Cell centroids as an (num_cells, 2) array of (y, x) coordinates."""
-        if self.property_names is None:
-            raise ValueError("property_names cannot be None.")
+        """(num_cells, 2) array of per-cell (row, col) centroids; empty with a
+        warning when 'centroid' was not among the requested properties."""
+        assert self.property_names is not None
 
         if "centroid" not in self.property_names:
             warnings.warn(
@@ -398,11 +381,12 @@ class SegmentationMask:
                 UserWarning,
                 stacklevel=2,
             )
-            return np.array([]).reshape(0, 2)
+            return np.empty((0, 2), dtype=np.float64)
 
-        yc = self.cell_properties["centroid_y"]
-        xc = self.cell_properties["centroid_x"]
-        return np.array([yc, xc], dtype=float).T
+        table = self.cell_properties
+        return np.column_stack(
+            [np.asarray(table["centroid_y"], float), np.asarray(table["centroid_x"], float)]
+        )
 
     def filter(
         self,
@@ -410,12 +394,16 @@ class SegmentationMask:
         min_value: float | None = None,
         max_value: float | None = None,
     ) -> SegmentationMask:
-        """Return a new SegmentationMask with cells removed based on a
-        property threshold (reference masks.py:355-418 semantics).
+        """Derive a new mask keeping only cells whose ``property_name`` value
+        lies inside ``[min_value, max_value]`` (either bound may be open).
+
+        Surviving cells keep their pixels; dropped cells become background.
+        The derived instance skips edge-cell removal (it already happened
+        here, if requested) and inherits all other settings.
 
         Raises:
-            ValueError: If neither min_value nor max_value is provided, if
-                property_name is not found, or if no cells remain.
+            ValueError: when both bounds are None, when the property was never
+                computed, or when the filter would empty the mask.
         """
         assert self.property_names is not None
         assert self.intensity_property_names is not None
@@ -423,36 +411,36 @@ class SegmentationMask:
         if min_value is None and max_value is None:
             raise ValueError("At least one of min_value or max_value must be provided.")
 
-        if property_name not in self.cell_properties:
+        table = self.cell_properties
+        if property_name not in table:
             raise ValueError(
                 f"Property '{property_name}' not found. "
-                f"Available properties: {list(self.cell_properties.keys())}"
+                f"Available properties: {list(table)}"
             )
 
-        values = self.cell_properties[property_name]
-        labels = np.arange(1, self.num_cells + 1)
-
-        keep = np.ones(len(labels), dtype=bool)
+        values = np.asarray(table[property_name])
+        inside = np.ones(values.shape, dtype=bool)
         if min_value is not None:
-            keep &= values >= min_value
+            inside &= values >= min_value
         if max_value is not None:
-            keep &= values <= max_value
+            inside &= values <= max_value
 
-        labels_to_keep = labels[keep]
-        new_label_image = np.where(
-            np.isin(self.label_image, labels_to_keep),
-            self.label_image,
-            0,
-        ).astype(np.int64)
-
-        if new_label_image.max() == 0:
+        if not inside.any():
             raise ValueError(
                 f"No cells remain after filtering '{property_name}' "
                 f"with min={min_value}, max={max_value}."
             )
 
+        # Remap through a lookup table indexed by label id: one gather over
+        # the image instead of np.isin's sort/search per pixel. Slot 0 stays 0
+        # so background is preserved; dropped labels map to 0.
+        lut = np.zeros(self.num_cells + 1, dtype=np.int64)
+        survivors = np.flatnonzero(inside) + 1
+        lut[survivors] = survivors
+        filtered_labels = lut[self.label_image]
+
         return SegmentationMask(
-            mask_image=new_label_image,
+            mask_image=filtered_labels,
             intensity_image_dict=self.intensity_image_dict,
             remove_edge_cells=False,
             outline_extractor=self.outline_extractor,
@@ -460,45 +448,42 @@ class SegmentationMask:
             intensity_property_names=list(self.intensity_property_names),
         )
 
+    # Unit-conversion exponents: pixel_size_um ** n, suffixed _um / _um2 / _um3.
+    # Tensor columns arrive suffixed ("inertia_tensor-0-0"), so conversion is
+    # keyed on the base name before the first '-'; the reference's table keys
+    # the un-suffixed names and therefore never actually converts tensors.
+    _MICRON_EXPONENTS: ClassVar[dict[str, int]] = {
+        "perimeter": 1,
+        "axis_major_length": 1,
+        "axis_minor_length": 1,
+        "feret_diameter_max": 1,
+        "equivalent_diameter_area": 1,
+        "area": 2,
+        "area_convex": 2,
+        "inertia_tensor": 2,
+        "inertia_tensor_eigvals": 2,
+        "volume": 3,
+    }
+
     def convert_properties_to_microns(
         self,
         pixel_size_um: float,
     ) -> dict[str, ScalarArray]:
-        """Convert cell properties from pixels to microns.
+        """Rescale length-bearing properties from pixel units to microns.
 
-        Scaling by dimensionality (reference masks.py:420-467): linear
-        properties x pixel_size ("_um"), areas x pixel_size^2 ("_um2"),
-        volumes x pixel_size^3 ("_um3"), tensors x pixel_size^2 ("_um2");
-        dimensionless properties, intensity stats, labels, and centroid
-        pixel coordinates pass through unchanged. Tensor/eigenvalue columns
-        are classified by their base name, so the suffixed regionprops
-        columns ("inertia_tensor-0-0", "inertia_tensor_eigvals-1") convert
-        correctly (the reference's table lists the base names but its column
-        keys never match them, so tensors silently pass through there).
+        Each convertible column is multiplied by ``pixel_size_um ** n`` where
+        n is its length dimension (1 for lengths, 2 for areas and inertia
+        tensors, 3 for volumes) and renamed with the matching ``_um``/
+        ``_um2``/``_um3`` suffix. Dimensionless shape factors, label ids,
+        centroid pixel coordinates, and intensity statistics pass through
+        untouched.
         """
-        linear_properties = {
-            "perimeter",
-            "axis_major_length",
-            "axis_minor_length",
-            "feret_diameter_max",
-            "equivalent_diameter_area",
-        }
-        area_properties = {"area", "area_convex"}
-        volume_properties = {"volume"}
-        tensor_properties = {"inertia_tensor", "inertia_tensor_eigvals"}
-
-        converted = {}
-        for prop_name, prop_values in self.cell_properties.items():
-            base = prop_name.split("-")[0]
-            if prop_name in linear_properties:
-                converted[f"{prop_name}_um"] = prop_values * pixel_size_um
-            elif prop_name in area_properties:
-                converted[f"{prop_name}_um2"] = prop_values * (pixel_size_um**2)
-            elif prop_name in volume_properties:
-                converted[f"{prop_name}_um3"] = prop_values * (pixel_size_um**3)
-            elif base in tensor_properties:
-                converted[f"{prop_name}_um2"] = prop_values * (pixel_size_um**2)
+        out: dict[str, ScalarArray] = {}
+        for name, values in self.cell_properties.items():
+            power = self._MICRON_EXPONENTS.get(name.split("-", 1)[0])
+            if power is None:
+                out[name] = values
             else:
-                converted[prop_name] = prop_values
-
-        return converted
+                suffix = "_um" if power == 1 else f"_um{power}"
+                out[f"{name}{suffix}"] = values * pixel_size_um**power
+        return out

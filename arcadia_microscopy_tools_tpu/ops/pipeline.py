@@ -32,18 +32,13 @@ __all__ = ["ImageOperation", "Pipeline"]
 
 
 class ImageOperation:
-    """A callable wrapper for image processing functions.
+    """An image-processing step frozen together with its configuration.
 
-    Stores a function along with its args and kwargs for later execution on an
-    image intensity array. Allows for convenient composition of image
-    processing pipelines. The wrapped function must be traceable (pure jnp) for
-    the pipeline to fuse it into a single device program; non-traceable
-    functions still work but fall back to eager execution.
-
-    Args:
-        func: The image processing function to wrap.
-        *args: Positional arguments to pass to the function.
-        **kwargs: Keyword arguments to pass to the function.
+    Binding (func, args, kwargs) into one immutable, hashable object lets a
+    Pipeline use the operation tuple as a compilation-cache key: the same
+    sequence of configured steps always maps to the same jitted program.
+    Pure-jnp functions fuse into that program; anything else still runs via
+    the eager fallback.
     """
 
     __slots__ = ("func", "args", "kwargs")
@@ -60,31 +55,24 @@ class ImageOperation:
         raise AttributeError("ImageOperation instances are immutable")
 
     def __call__(self, intensities):
-        """Apply the operation to an image.
-
-        Args:
-            intensities: Input image as an array of intensity values.
-
-        Returns:
-            The processed image intensity array.
-        """
+        """Run the wrapped function on *intensities* with the bound config."""
         return self.func(intensities, *self.args, **self.kwargs)
+
+    def _identity(self) -> tuple:
+        return (self.func, self.args, tuple(sorted(self.kwargs.items())))
 
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, ImageOperation):
             return NotImplemented
-        return (
-            self.func == other.func and self.args == other.args and self.kwargs == other.kwargs
-        )
+        return self._identity() == other._identity()
 
     def __hash__(self) -> int:
-        return hash((self.func, self.args, tuple(sorted(self.kwargs.items()))))
+        return hash(self._identity())
 
     def __repr__(self) -> str:
-        args_repr = [repr(arg) for arg in self.args]
-        kwargs_repr = [f"{key}={repr(value)}" for key, value in self.kwargs.items()]
-        args_kwargs_repr = ", ".join(args_repr + kwargs_repr)
-        return f"{self.func.__name__}({args_kwargs_repr})"
+        parts = [repr(a) for a in self.args]
+        parts += [f"{k}={v!r}" for k, v in self.kwargs.items()]
+        return f"{self.func.__name__}({', '.join(parts)})"
 
 
 @lru_cache(maxsize=256)
@@ -110,25 +98,21 @@ def _compiled_fold(
 
 @dataclass
 class Pipeline:
-    """A sequence of image processing operations compiled to one device program.
+    """An ordered stack of ImageOperations executed as one device program.
 
-    Combines multiple image operations into a single callable pipeline that
-    applies each operation in sequence to an input image.
+    Calling the pipeline traces the whole operation fold once and jits it, so
+    XLA fuses consecutive steps and keeps intermediates on device. Args:
 
-    Attributes:
-        operations: List of ImageOperation instances to apply in sequence.
-        copy: Accepted for API compatibility with the reference; jitted
-            programs never mutate their input, so this is always effectively
-            True. Ignored when parallel=True (warning emitted, matching the
-            reference).
-        preserve_dtype: If True, forces output to have the same dtype as input.
-            If False, allows dtype to change based on operations (e.g.,
-            uint16 -> float for normalization). Default is False.
-        parallel: If True, maps the operation fold over the first axis via
-            `jax.vmap` (timelapse, z-stack, or multi-channel data). Requires at
-            least 3D input. Default is False.
-        max_workers: Accepted for API compatibility; XLA owns parallel
-            execution, so this has no effect (must still be >= 1 if given).
+        operations: the steps, in application order.
+        copy: accepted for reference-API compatibility; jitted programs never
+            mutate inputs so copying is implicit (a warning fires if combined
+            with parallel=True, as in the reference).
+        preserve_dtype: cast the result back to the input dtype when True;
+            otherwise the dtype follows the math (uint16 in, float out).
+        parallel: vmap the fold over axis 0 (stacks/timelapses; input must be
+            >= 3D). One batched program replaces the reference's thread pool.
+        max_workers: accepted for compatibility and unused — XLA schedules
+            its own parallelism. Must be >= 1 when given.
     """
 
     operations: list[ImageOperation]
@@ -138,15 +122,14 @@ class Pipeline:
     max_workers: int | None = None
 
     def __post_init__(self) -> None:
-        """Validate the pipeline configuration."""
-        if isinstance(self.operations, tuple):
-            self.operations = list(self.operations)
-        if not self.operations:
+        self.operations = list(self.operations)
+        if len(self.operations) == 0:
             raise ValueError("Pipeline must have at least one operation")
-        if not all(callable(op) for op in self.operations):
-            raise TypeError(
-                "All operations must be callable (wrap functions with ImageOperation)"
-            )
+        for op in self.operations:
+            if not callable(op):
+                raise TypeError(
+                    "All operations must be callable (wrap functions with ImageOperation)"
+                )
         if self.max_workers is not None and self.max_workers < 1:
             raise ValueError(f"max_workers must be at least 1, got {self.max_workers}")
         if self.parallel and self.copy:
@@ -166,22 +149,9 @@ class Pipeline:
         return out
 
     def __call__(self, intensities):
-        """Apply the pipeline to an image.
-
-        When parallel=False, applies the fused operation fold to the entire
-        array. When parallel=True, vmaps the fold over the first axis
-        (requires at least 3D input).
-
-        Args:
-            intensities: Input image (NumPy or JAX array).
-
-        Returns:
-            The processed image array. NumPy in -> NumPy out (floating results
-            as float64); JAX in -> JAX out (on device).
-
-        Raises:
-            ValueError: If parallel=True and input has fewer than 3 dimensions.
-        """
+        """Run the fused fold on *intensities* (vmapped over axis 0 when
+        parallel=True, which requires >= 3D input). NumPy input returns NumPy
+        (floats widened to float64); device input stays on device."""
         if self.parallel and intensities.ndim < 3:
             raise ValueError(
                 f"Parallel mode requires at least 3D input (got {intensities.ndim}D). "
@@ -228,19 +198,16 @@ class Pipeline:
         return result
 
     def __len__(self) -> int:
-        """Return the number of operations in the pipeline."""
         return len(self.operations)
 
     def __repr__(self) -> str:
-        operations_repr = ", ".join(repr(operation) for operation in self.operations)
-        params = []
-        if self.copy:
-            params.append("copy=True")
-        if self.preserve_dtype:
-            params.append("preserve_dtype=True")
-        if self.parallel:
-            params.append("parallel=True")
-        if self.max_workers is not None:
-            params.append(f"max_workers={self.max_workers}")
-        params_str = f", {', '.join(params)}" if params else ""
-        return f"Pipeline([{operations_repr}]{params_str})"
+        flags = {
+            "copy": self.copy,
+            "preserve_dtype": self.preserve_dtype,
+            "parallel": self.parallel,
+            "max_workers": self.max_workers,
+        }
+        shown = [f"{k}={v}" for k, v in flags.items() if v not in (False, None)]
+        inner = ", ".join(repr(op) for op in self.operations)
+        tail = (", " + ", ".join(shown)) if shown else ""
+        return f"Pipeline([{inner}]{tail})"

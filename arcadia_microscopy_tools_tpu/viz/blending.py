@@ -29,17 +29,13 @@ __all__ = ["BlendMode", "Layer", "create_overlay", "overlay_channels"]
 
 
 class BlendMode(Enum):
-    """How a foreground layer is composited onto the canvas.
+    """Compositing rule for putting one layer onto the canvas.
 
-    ALPHA:
-        Standard Porter-Duff "over" compositing. The foreground replaces the
-        background in proportion to alpha. Layer order matters.
-
-    ADDITIVE:
-        The foreground contribution is *added* to the background, then
-        clipped. This is the physically-motivated model for fluorescence:
-        each fluorophore contributes light independently, so contributions
-        from overlapping channels accumulate. Layer order does not matter.
+    ``ALPHA`` is the classic "over" operator — each layer partially replaces
+    what is underneath it, so the stacking order of layers is significant.
+    ``ADDITIVE`` sums light instead of replacing it (then clips to [0, 1]),
+    which matches the physics of fluorescence imaging where every fluorophore
+    emits independently; with this mode the layer order is irrelevant.
     """
 
     ALPHA = "alpha"
@@ -53,20 +49,29 @@ def _hex_to_rgb(color: str) -> tuple[float, float, float]:
     return tuple(int(hex_color[i : i + 2], 16) / 255.0 for i in (0, 2, 4))  # type: ignore
 
 
+def _clipped_unit_range(values, what: str):
+    """Warn when *values* stray outside [0, 1] and clip them back in."""
+    lo, hi = float(values.min()), float(values.max())
+    if lo < 0.0 or hi > 1.0:
+        warnings.warn(
+            f"{what} outside [0, 1] (min={lo:.4g}, max={hi:.4g}). Values will "
+            f"be clipped, which may indicate missing normalization.",
+            stacklevel=3,
+        )
+        values = np.clip(values, 0.0, 1.0)
+    return values
+
+
+
 @dataclass
 class Layer:
-    """A single layer in a fluorescence overlay.
+    """One channel's contribution to an overlay: intensities in [0, 1] plus
+    the rendering knobs for that channel.
 
-    Args:
-        channel: Channel providing color and identity.
-        intensities: 2D array of intensity values in [0, 1].
-        opacity: Global opacity multiplier in [0, 1]. Default is 1 (fully opaque).
-        zero_transparent: If True (default), the colormap fades from fully
-            transparent at zero intensity to the channel color at full
-            intensity. If False, the colormap fades from black to the channel
-            color (no transparency is applied).
-        blend_mode: How this layer is composited onto the canvas.
-            Default is ``ALPHA``.
+    ``zero_transparent=True`` ramps from fully transparent at zero intensity
+    up to the channel color; ``False`` ramps from opaque black instead (a
+    classic LUT look, no transparency). ``opacity`` scales the whole layer's
+    alpha. Out-of-range intensities are clipped with a warning.
     """
 
     channel: Channel
@@ -77,21 +82,12 @@ class Layer:
 
     def __post_init__(self) -> None:
         if self.intensities.ndim != 2:
-            raise ValueError(
-                f"Expected 2D intensities array, got shape {self.intensities.shape}"
-            )
+            raise ValueError(f"Expected 2D intensities array, got shape {self.intensities.shape}")
         if not 0 <= self.opacity <= 1:
             raise ValueError(f"Opacity must be in [0, 1], got {self.opacity}")
-
-        lo, hi = float(self.intensities.min()), float(self.intensities.max())
-        if lo < 0.0 or hi > 1.0:
-            warnings.warn(
-                f"Layer '{self.channel.name}' has intensity values outside [0, 1] "
-                f"(min={lo:.4g}, max={hi:.4g}). Values will be clipped, which "
-                f"may indicate missing normalization.",
-                stacklevel=2,
-            )
-            self.intensities = np.clip(self.intensities, 0.0, 1.0)
+        self.intensities = _clipped_unit_range(
+            self.intensities, f"Layer '{self.channel.name}' has intensity values"
+        )
 
 
 class _TwoStopColormap:
@@ -183,24 +179,12 @@ def overlay_channels(
     zero_transparent: bool = True,
     blend_mode: BlendMode = BlendMode.ALPHA,
 ) -> Float64Array:
-    """Create a fluorescence overlay with uniform settings for all channels.
+    """Composite every channel onto *background* with shared settings.
 
-    This is the high-level convenience function. For per-layer control over
-    opacity, transparency, or blend mode, use :func:`create_overlay` directly.
-
-    Args:
-        background: 2D grayscale background image with values in [0, 1].
-        channel_intensities: Dict mapping Channel objects to their 2D intensity
-            arrays (values in [0, 1]).
-        opacity: Global opacity multiplier for all channels. Default is 1.
-        zero_transparent: If True (default), all colormaps fade from
-            transparent to channel color. If False, colormaps fade from black.
-        blend_mode: Compositing mode for all channels. Default is
-            ``BlendMode.ALPHA``.
-
-    Returns:
-        RGB image (HxWx3 float array) with all channels composited onto the
-        background.
+    Thin wrapper that wraps each (channel, intensities) pair in a
+    :class:`Layer` with the same opacity / transparency / blend mode and
+    hands the stack to :func:`create_overlay`; build the Layer list yourself
+    when channels need individual settings.
     """
     layers = [
         Layer(channel, intensities, opacity, zero_transparent, blend_mode)
@@ -213,38 +197,26 @@ def create_overlay(
     background: Float64Array,
     layers: list[Layer],
 ) -> Float64Array:
-    """Create an overlay by compositing layers onto a background.
+    """Render *layers* onto a 2D grayscale background, returning (H, W, 3).
 
-    Args:
-        background: 2D grayscale background image with values in [0, 1].
-        layers: List of Layer objects to composite.
-
-    Returns:
-        RGB image (HxWx3 float array) with all layers composited onto the
-        background. NumPy in -> NumPy float64 out; JAX in -> device array out.
-
-    Raises:
-        ValueError: If the background is not 2D, or if any layer's spatial
-            dimensions do not match the background.
+    Each layer's colormap + compositing math is fused into a single jitted
+    device program keyed on the layer configuration; a NumPy background comes
+    back as float64 NumPy, a device background stays on device. Raises
+    ValueError for a non-2D background or a layer whose shape disagrees with
+    it; out-of-range background values are clipped with a warning.
     """
     if background.ndim != 2:
         raise ValueError(f"Expected 2D background array, got shape {background.shape}")
 
-    lo, hi = float(background.min()), float(background.max())
-    if lo < 0.0 or hi > 1.0:
-        warnings.warn(
-            f"Background has values outside [0, 1] (min={lo:.4g}, max={hi:.4g}). "
-            f"Values will be clipped, which may indicate missing normalization.",
-            stacklevel=2,
-        )
+    _clipped_unit_range(background, "Background has values")
 
-    for layer in layers:
-        if layer.intensities.shape != background.shape:
-            raise ValueError(
-                f"Layer '{layer.channel.name}' has shape "
-                f"{layer.intensities.shape}, but background has shape "
-                f"{background.shape}."
-            )
+    mismatched = [l for l in layers if l.intensities.shape != background.shape]
+    if mismatched:
+        bad = mismatched[0]
+        raise ValueError(
+            f"Layer '{bad.channel.name}' has shape {bad.intensities.shape}, "
+            f"but background has shape {background.shape}."
+        )
 
     configs = tuple(
         (layer.channel.color, float(layer.opacity), bool(layer.zero_transparent), layer.blend_mode)
