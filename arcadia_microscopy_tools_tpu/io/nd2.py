@@ -64,6 +64,7 @@ _TEXTINFO_FIELDS = [
 _LOOP_TIME = 1
 _LOOP_XYPOS = 2
 _LOOP_ZSTACK = 4
+_LOOP_SPECTRAL = 6
 _LOOP_NETIME = 8
 
 
@@ -307,6 +308,8 @@ class ND2File:
                 loops.append(LoopInfo("P", int(count), pars))
             elif etype == _LOOP_ZSTACK and count:
                 loops.append(LoopInfo("Z", int(count), pars))
+            elif etype == _LOOP_SPECTRAL and count:
+                loops.append(LoopInfo("W", int(count), pars))
             for sub in (exp.get("ppNextLevelEx", {}) or {}).values():
                 if isinstance(sub, dict):
                     visit(sub)
@@ -573,6 +576,21 @@ class ND2File:
                 home = round(span / step)
                 indices = self._loop_indices(loop)
                 columns["Z-Series"] = (indices - home).astype(float)
+            elif loop.kind == "P":
+                points = self._loop_points(loop)
+                if points:
+                    indices = self._loop_indices(loop)
+                    xs = np.array([float(p.get("dPosX", 0.0)) for p in points])
+                    ys = np.array([float(p.get("dPosY", 0.0)) for p in points])
+                    columns["X Coord [µm]"] = xs[np.minimum(indices, len(points) - 1)]
+                    columns["Y Coord [µm]"] = ys[np.minimum(indices, len(points) - 1)]
+            elif loop.kind == "W":
+                steps = self._spectral_steps(loop)
+                if steps is not None:
+                    indices = self._loop_indices(loop)
+                    columns["Wavelength [nm]"] = steps[
+                        np.minimum(indices, len(steps) - 1)
+                    ]
 
         events: list[dict[str, Any]] = []
         for i in range(seq_count):
@@ -583,6 +601,30 @@ class ND2File:
             events.append(row)
         self._events_cache = events
         return events
+
+    @staticmethod
+    def _loop_points(loop: LoopInfo) -> list[dict[str, Any]]:
+        """The ordered per-iteration point records of a position loop."""
+        raw = loop.parameters.get("Points", {}) or {}
+        return [p for p in raw.values() if isinstance(p, dict)]
+
+    def _spectral_steps(self, loop: LoopInfo) -> np.ndarray | None:
+        """Per-step wavelengths (nm) of a spectral loop.
+
+        Prefers explicit per-plane wavelengths recorded in the loop's point
+        table; falls back to a uniform ramp when the loop records only
+        (start, step). None when the file gives neither.
+        """
+        points = self._loop_points(loop)
+        explicit = [p.get("dWavelength") for p in points if p.get("dWavelength")]
+        if explicit and len(explicit) == loop.count:
+            return np.asarray(explicit, dtype=float)
+        pars = loop.parameters
+        start = pars.get("dWavelengthStart")
+        step = pars.get("dWavelengthStep")
+        if start is not None and step is not None:
+            return float(start) + float(step) * np.arange(loop.count, dtype=float)
+        return None
 
     def _loop_indices(self, target: LoopInfo) -> np.ndarray:
         """Per-frame index within `target`, given outer->inner loop nesting."""

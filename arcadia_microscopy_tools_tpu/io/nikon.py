@@ -30,6 +30,7 @@ from datetime import datetime
 from pathlib import Path
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from ..core.channels import BRIGHTFIELD, CHANNELS, FITC, Channel
@@ -205,6 +206,7 @@ def _axis_flags(sizes: dict[str, int]) -> DimensionFlags:
         "Z": DimensionFlags.Z_STACK,
         "S": DimensionFlags.RGB,
         "P": DimensionFlags.MONTAGE,
+        "W": DimensionFlags.SPECTRAL,
     }
     flags = DimensionFlags(0)
     for axis, flag in flag_by_axis.items():
@@ -231,6 +233,16 @@ def _nominal_geometry(struct: nd2.ChannelStruct, facts: _FileFacts) -> NominalDi
         frames = facts.sizes.get("T")
         interval_ms = facts.events[0].get("Exposure Time [ms]")
 
+    w_count = w_step = None
+    if facts.dims.is_spectral:
+        w_count = facts.sizes.get("W")
+        steps = [
+            e["Wavelength [nm]"] for e in facts.events if "Wavelength [nm]" in e
+        ]
+        unique = sorted(set(steps))
+        if len(unique) > 1:
+            w_step = float(np.median(np.diff(unique)))
+
     zstack = facts.dims.is_zstack
     lapse = facts.dims.is_timelapse
     return NominalDimensions(
@@ -241,8 +253,8 @@ def _nominal_geometry(struct: nd2.ChannelStruct, facts: _FileFacts) -> NominalDi
         z_step_um=sz if zstack else None,
         t_size_px=frames if lapse else None,
         t_step_ms=interval_ms if lapse else None,
-        w_size_px=None,
-        w_step_nm=None,
+        w_size_px=w_count,
+        w_step_nm=w_step,
     )
 
 
@@ -267,11 +279,18 @@ def _measured_coordinates(facts: _FileFacts) -> MeasuredDimensions:
 
 
 def _stage_positions(table: pd.DataFrame) -> tuple[Float64Array, Float64Array]:
-    """Tiled-imaging stage positions. The reference also leaves this
-    unimplemented (nikon.py:287-296); same explicit error for parity."""
-    raise NotImplementedError(
-        "(X, Y) position extraction for tiled imaging is not yet implemented"
-    )
+    """Per-frame stage coordinates for tiled (montage) acquisitions,
+    mean-centered so the montage midpoint is the origin — the same convention
+    the Leica path uses for mosaic tiles. Goes beyond the reference, which
+    raises NotImplementedError here (nikon.py:287-296); the columns come from
+    the XYPosLoop's point table (io/nd2.py events synthesis) or from recorded
+    stage-coordinate CustomData traces."""
+    for x_col, y_col in (("X Coord [µm]", "Y Coord [µm]"), ("X Pos [µm]", "Y Pos [µm]")):
+        if x_col in table.columns and y_col in table.columns:
+            xs = table[x_col].to_numpy(dtype=float)
+            ys = table[y_col].to_numpy(dtype=float)
+            return xs - xs.mean(), ys - ys.mean()
+    raise ValueError("No stage-coordinate columns found in events for tiled imaging")
 
 
 def _z_positions(table: pd.DataFrame) -> Float64Array:
@@ -307,11 +326,13 @@ def _frame_times(table: pd.DataFrame) -> Float64Array:
 
 
 def _spectral_wavelengths(table: pd.DataFrame) -> Float64Array:
-    """Spectral sampling points - unimplemented in the reference too
-    (nikon.py:338-345); same explicit error for parity."""
-    raise NotImplementedError(
-        "Wavelength extraction for spectral imaging is not yet implemented"
-    )
+    """Per-frame sampling wavelengths (nm) for spectral acquisitions. Goes
+    beyond the reference, which raises NotImplementedError here
+    (nikon.py:338-345); the column is synthesized from the spectral loop's
+    per-step wavelength table by the reader (io/nd2.py)."""
+    if "Wavelength [nm]" not in table.columns:
+        raise ValueError("No wavelength column found in events for spectral imaging")
+    return table["Wavelength [nm]"].to_numpy(dtype=float)
 
 
 def _capture_settings(

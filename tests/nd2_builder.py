@@ -115,7 +115,7 @@ def _plane(description: str, color: int, ex_nm: float, em_nm: float) -> dict:
 
 def write_nd2(
     path: Path,
-    frames: np.ndarray,  # (C, Y, X) or (T, C, Y, X) or (T/Z, Y, X) uint16
+    frames: np.ndarray,  # (loops..., C, Y, X) or (C, Y, X) or (T, Y, X) uint16
     channel_names: list[str] | None = None,
     calibration_um: float = 0.325,
     date: str = "1/15/2024 10:30:00 AM",
@@ -125,27 +125,61 @@ def write_nd2(
     numerical_aperture: float = 0.75,
     objective: str = "Plan Apo 20x",
     exposure_line: str = "  Exposure: 100 ms",
+    xy_positions: list[tuple[float, float]] | None = None,
+    wavelengths_nm: list[float] | None = None,
+    rgb_samples: int = 1,
 ) -> Path:
     """Write one ND2 file around a uint16 frame array.
 
     Shapes: (C, Y, X) = one multichannel frame; with `time_loop`,
     (T, C, Y, X) or (T, Y, X) = a timelapse (acquisition-time events are
-    emitted so the parser's timelapse path engages).
+    emitted so the parser's timelapse path engages). `xy_positions` adds an
+    XYPos (montage) loop outermost, `wavelengths_nm` a spectral loop
+    innermost; the leading frame axes must then match (P, T, W) in order.
+    `rgb_samples > 1` writes an RGB-camera layout: each channel carries that
+    many interleaved samples, so the trailing frame axes become
+    (C, S, Y, X) — pass frames shaped accordingly.
     """
     frames = np.asarray(frames, dtype=np.uint16)
     if frames.ndim == 2:
         frames = frames[None]
+    if time_loop and frames.ndim == 3 and not xy_positions and not wavelengths_nm:
+        frames = frames[:, None]  # (T, 1, Y, X)
+
+    # loop axes, outer -> inner: P (montage), T (time), W (spectral)
+    loop_counts = []
+    if xy_positions:
+        loop_counts.append(len(xy_positions))
     if time_loop:
-        if frames.ndim == 3:
-            frames = frames[:, None]  # (T, 1, Y, X)
-        t_count, n_channels, height, width = frames.shape
-        per_frame = frames  # (T, C, Y, X)
+        loop_counts.append(frames.shape[len(loop_counts)])
+    if wavelengths_nm:
+        loop_counts.append(len(wavelengths_nm))
+    n_loops = len(loop_counts)
+
+    expected_ndim = n_loops + 3 + (1 if rgb_samples > 1 else 0)
+    if frames.ndim != expected_ndim:
+        raise ValueError(
+            f"expected {expected_ndim}D frames for {n_loops} loop(s)"
+            f"{' + RGB samples' if rgb_samples > 1 else ''}, got {frames.ndim}D"
+        )
+    if list(frames.shape[:n_loops]) != loop_counts:
+        raise ValueError(
+            f"leading frame axes {frames.shape[:n_loops]} do not match "
+            f"loop counts {tuple(loop_counts)}"
+        )
+
+    if rgb_samples > 1:
+        n_channels, samples, height, width = frames.shape[n_loops:]
+        if samples != rgb_samples:
+            raise ValueError("frames sample axis must equal rgb_samples")
+        # fold samples into the component axis: components on disk are
+        # channel-major interleaved triplets
+        frames = frames.reshape(frames.shape[:n_loops] + (n_channels * samples, height, width))
     else:
-        if frames.ndim != 3:
-            raise ValueError("expected (C, Y, X) without time_loop")
-        n_channels, height, width = frames.shape
-        t_count = 1
-        per_frame = frames[None]
+        n_channels, height, width = frames.shape[n_loops:]
+
+    t_count = int(np.prod(loop_counts)) if loop_counts else 1
+    per_frame = frames.reshape((t_count,) + frames.shape[n_loops:])
 
     names = channel_names or [f"Channel {i}" for i in range(n_channels)]
     colors = [0xFF0000, 0x00FF00, 0x0000FF, 0x00FFFF, 0xFF00FF, 0xFFFF00]
@@ -158,10 +192,10 @@ def write_nd2(
             "SLxImageAttributes": {
                 "uiWidth": width,
                 "uiHeight": height,
-                "uiComp": n_channels,
+                "uiComp": n_channels * rgb_samples,
                 "uiBpcInMemory": 16,
                 "uiBpcSignificant": 16,
-                "uiWidthBytes": width * n_channels * 2,
+                "uiWidthBytes": width * n_channels * rgb_samples * 2,
                 "uiSequenceCount": t_count,
             }
         },
@@ -176,16 +210,33 @@ def write_nd2(
     }
     builder.add_variant("ImageTextInfoLV!", {"SLxImageTextInfo": text_items})
 
+    loop_specs = []  # (eType, uLoopPars), outer -> inner
+    if xy_positions:
+        points = {
+            f"p{i}": {"dPosX": float(x), "dPosY": float(y), "dPosZ": 0.0}
+            for i, (x, y) in enumerate(xy_positions)
+        }
+        loop_specs.append((2, {"uiCount": len(xy_positions), "Points": points}))
     if time_loop:
-        builder.add_variant(
-            "ImageMetadataLV!",
-            {
-                "SLxExperiment": {
-                    "eType": 1,  # time loop
-                    "uLoopPars": {"uiCount": t_count, "dPeriod": t_interval_ms},
-                }
-            },
-        )
+        t_loop_count = loop_counts[1] if xy_positions else loop_counts[0]
+        loop_specs.append((1, {"uiCount": t_loop_count, "dPeriod": t_interval_ms}))
+    if wavelengths_nm:
+        points = {
+            f"p{i}": {"dWavelength": float(w)} for i, w in enumerate(wavelengths_nm)
+        }
+        loop_specs.append((6, {"uiCount": len(wavelengths_nm), "Points": points}))
+
+    if loop_specs:
+        experiment: dict = {}
+        node = experiment
+        for level, (etype, pars) in enumerate(loop_specs):
+            node["eType"] = etype
+            node["uLoopPars"] = pars
+            if level + 1 < len(loop_specs):
+                child: dict = {}
+                node["ppNextLevelEx"] = {"i0000000000": child}
+                node = child
+        builder.add_variant("ImageMetadataLV!", {"SLxExperiment": experiment})
 
     planes = {
         f"a{i}": _plane(

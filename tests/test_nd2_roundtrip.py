@@ -83,3 +83,98 @@ class TestTimelapse:
         loaded = MicroscopyImage.from_nd2_path(path)
         assert loaded.sizes == {"T": 3, "C": 2, "Y": 32, "X": 32}
         np.testing.assert_array_equal(np.asarray(loaded.intensities), stack)
+
+
+class TestMontage:
+    def test_stage_positions_mean_centered(self, rng, tmp_path):
+        tiles = (rng.random((4, 2, 24, 24)) * 500).astype(np.uint16)
+        positions = [(100.0, 200.0), (612.0, 200.0), (100.0, 712.0), (612.0, 712.0)]
+        path = write_nd2(
+            tmp_path / "m.nd2",
+            tiles,
+            channel_names=["DAPI", "FITC"],
+            xy_positions=positions,
+        )
+        loaded = MicroscopyImage.from_nd2_path(path)
+        assert loaded.sizes == {"P": 4, "C": 2, "Y": 24, "X": 24}
+        assert loaded.dimensions.is_montage
+        np.testing.assert_array_equal(np.asarray(loaded.intensities), tiles)
+
+        cm = loaded.metadata.instrument.channel_metadata_list[0]
+        xs = np.asarray(cm.measured.x_values_um)
+        ys = np.asarray(cm.measured.y_values_um)
+        # mean-centered: the montage midpoint is the origin
+        np.testing.assert_allclose(xs.mean(), 0.0, atol=1e-9)
+        np.testing.assert_allclose(ys.mean(), 0.0, atol=1e-9)
+        np.testing.assert_allclose(xs, [-256.0, 256.0, -256.0, 256.0])
+        np.testing.assert_allclose(ys, [-256.0, -256.0, 256.0, 256.0])
+
+    def test_reader_synthesizes_coordinate_columns(self, rng, tmp_path):
+        tiles = (rng.random((2, 1, 16, 16)) * 500).astype(np.uint16)
+        path = write_nd2(
+            tmp_path / "m2.nd2", tiles, channel_names=["DAPI"],
+            xy_positions=[(0.0, 0.0), (512.0, 0.0)],
+        )
+        with ND2File(path) as f:
+            events = f.events()
+            assert [e["X Coord [µm]"] for e in events] == [0.0, 512.0]
+            assert [e["Y Coord [µm]"] for e in events] == [0.0, 0.0]
+
+
+class TestSpectral:
+    def test_wavelength_axis_roundtrip(self, rng, tmp_path):
+        wavelengths = [500.0, 510.0, 520.0, 530.0, 540.0]
+        stack = (rng.random((5, 1, 16, 16)) * 900).astype(np.uint16)
+        path = write_nd2(
+            tmp_path / "w.nd2", stack, channel_names=["FITC"],
+            wavelengths_nm=wavelengths,
+        )
+        loaded = MicroscopyImage.from_nd2_path(path)
+        assert loaded.sizes == {"W": 5, "Y": 16, "X": 16}
+        assert loaded.dimensions.is_spectral
+        np.testing.assert_array_equal(
+            np.asarray(loaded.intensities), stack[:, 0]
+        )
+
+        cm = loaded.metadata.instrument.channel_metadata_list[0]
+        np.testing.assert_allclose(cm.measured.w_values_nm, wavelengths)
+        assert cm.resolution.w_size_px == 5
+        assert cm.resolution.w_step_nm == 10.0
+
+    def test_nested_time_and_spectral(self, rng, tmp_path):
+        wavelengths = [600.0, 620.0]
+        stack = (rng.random((3, 2, 1, 16, 16)) * 900).astype(np.uint16)  # (T, W, C, Y, X)
+        path = write_nd2(
+            tmp_path / "tw.nd2", stack, channel_names=["TRITC"],
+            time_loop=True, wavelengths_nm=wavelengths,
+        )
+        loaded = MicroscopyImage.from_nd2_path(path)
+        assert loaded.sizes == {"T": 3, "W": 2, "Y": 16, "X": 16}
+        assert loaded.dimensions.is_spectral and loaded.dimensions.is_timelapse
+        cm = loaded.metadata.instrument.channel_metadata_list[0]
+        # wavelength cycles fastest (inner loop)
+        np.testing.assert_allclose(
+            cm.measured.w_values_nm, [600.0, 620.0] * 3
+        )
+
+
+class TestRGB:
+    def test_rgb_samples_axis(self, rng, tmp_path):
+        frame = (rng.random((1, 3, 20, 20)) * 800).astype(np.uint16)  # (C, S, Y, X)
+        path = write_nd2(
+            tmp_path / "rgb.nd2", frame, channel_names=["BRIGHTFIELD"], rgb_samples=3
+        )
+        loaded = MicroscopyImage.from_nd2_path(path)
+        assert loaded.sizes == {"S": 3, "Y": 20, "X": 20}
+        assert loaded.dimensions.is_rgb
+        np.testing.assert_array_equal(np.asarray(loaded.intensities), frame[0])
+
+    def test_multichannel_rgb(self, rng, tmp_path):
+        frame = (rng.random((2, 3, 20, 20)) * 800).astype(np.uint16)  # (C, S, Y, X)
+        path = write_nd2(
+            tmp_path / "rgb2.nd2", frame, channel_names=["DAPI", "FITC"], rgb_samples=3
+        )
+        with ND2File(path) as f:
+            assert f.sizes == {"C": 2, "S": 3, "Y": 20, "X": 20}
+            arr = f.asarray()
+        np.testing.assert_array_equal(arr, frame)
