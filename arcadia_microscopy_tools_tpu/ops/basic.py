@@ -63,7 +63,15 @@ def rescale_by_percentile(
     scale = jnp.where(p2 > p1, (o2 - o1) / jnp.maximum(p2 - p1, 1e-30), 0.0)
     rescaled = (clipped - p1) * scale + o1
 
-    is_constant = jnp.min(xf) == jnp.max(xf)
+    # Constant-image check with a relative epsilon: device float filters are
+    # per-pixel-rounded (the TPU band matmuls do not produce bitwise-equal
+    # outputs for a constant input the way scipy's f64 correlate does), so a
+    # constant source arrives here with a span of ~1e-8 rounding noise.
+    # Anything below 1e-7 of the data magnitude is far beneath one uint16
+    # count (1.5e-5 in [0,1] units), so no genuine image contrast is caught.
+    mn, mx = jnp.min(xf), jnp.max(xf)
+    tol = 1e-7 * jnp.maximum(1.0, jnp.maximum(jnp.abs(mn), jnp.abs(mx)))
+    is_constant = (mx - mn) <= tol
     return jnp.where(is_constant, jnp.full_like(rescaled, o1), rescaled)
 
 

@@ -144,5 +144,9 @@ def fused_classical_mask(
     mask = q0.astype(jnp.int32) > c0
 
     # degenerate (constant) images -> all background, as the reference's
-    # apply_threshold does for constant inputs
-    return jnp.where(mx > mn, mask, jnp.zeros_like(mask))
+    # apply_threshold does for constant inputs. The span check carries a
+    # relative epsilon because a constant source reaches this point with
+    # ~1e-8 of per-pixel matmul rounding, not an exactly-equal field; 1e-7
+    # of the data magnitude is far below one uint16 count of real contrast.
+    tol = 1e-7 * jnp.maximum(1.0, jnp.maximum(jnp.abs(mn), jnp.abs(mx)))
+    return jnp.where(mx - mn > tol, mask, jnp.zeros_like(mask))

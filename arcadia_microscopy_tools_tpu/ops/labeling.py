@@ -309,7 +309,10 @@ def _resolve_values(values, keys, roots, n):
 
     `keys` are sorted distinct boundary labels with resolved `roots`; values
     not present map to themselves. One 3-operand sort + cummax replaces
-    searchsorted (sequential binary-search gathers are latency-bound on TPU).
+    searchsorted (sequential binary-search gathers are latency-bound on TPU),
+    and the results return to query order through a second sort keyed on the
+    original position rather than a scatter (a 196K-slot scatter costs ~5 ms
+    on this toolchain; the extra sort ~1 ms).
     """
     nq = values.shape[0]
     m = keys.shape[0]
@@ -318,8 +321,13 @@ def _resolve_values(values, keys, roots, n):
     tie = jnp.concatenate(
         [jnp.zeros((m,), jnp.int32), jnp.ones((nq,), jnp.int32)]
     )
-    aux = jnp.concatenate([roots, jnp.arange(nq, dtype=jnp.int32)])
-    sv, st, sa = lax.sort((v, tie, aux), num_keys=2)
+    # key rows carry position nq + i so they sort past every query row in the
+    # un-merge sort below
+    pos = jnp.concatenate(
+        [nq + jnp.arange(m, dtype=jnp.int32), jnp.arange(nq, dtype=jnp.int32)]
+    )
+    aux = jnp.concatenate([roots, jnp.zeros((nq,), jnp.int32)])
+    sv, st, sp, sa = lax.sort((v, tie, pos, aux), num_keys=2)
 
     is_key = st == 0
     iota = jnp.arange(m + nq, dtype=jnp.int32)
@@ -327,9 +335,9 @@ def _resolve_values(values, keys, roots, n):
     safe = jnp.maximum(last_key, 0)
     match = (last_key >= 0) & (sv[safe] == sv)
     resolved = jnp.where(match, sa[safe], sv)
-    # scatter query results back to their original positions (key rows drop)
-    out_pos = jnp.where(is_key, nq, sa)
-    out = jnp.zeros((nq,), jnp.int32).at[out_pos].set(resolved, mode="drop")
+    # un-merge: sort by original query position; key rows land in the tail
+    _, out_full = lax.sort((sp, resolved), num_keys=1)
+    out = out_full[:nq]
     return jnp.where(values < n, out, values)
 
 
@@ -383,7 +391,7 @@ def _seed_boundary_strips(lbl, keys, roots, n, block):
 def component_roots(
     fg: jax.Array,
     connectivity: int = 2,
-    pair_cap: int = 65536,
+    pair_cap: int = 16384,
     allow_pallas: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-pixel component root indices, gather-free.

@@ -172,8 +172,9 @@ def measure_labels(label_image: jax.Array, max_cells: int) -> dict[str, jax.Arra
     # frames (raw y^2 sums would round at f32 granularity). The centroid
     # lookup happens inside the matmul scan (onehot @ centroids) instead of
     # a 4M-element gather.
-    s_yy, s_xx, s_xy, extras = segment_central_moments(
-        yf, xf, perim_w[None], seg, cy, cx, nseg
+    s_yy, s_xx, s_xy, extras, bbox_mm = segment_central_moments(
+        yf, xf, perim_w[None], seg, cy, cx, nseg,
+        minmax_vals=jnp.stack([yf, xf]),
     )
     mu20 = s_yy / n  # spread along rows
     mu02 = s_xx / n  # spread along cols
@@ -198,8 +199,8 @@ def measure_labels(label_image: jax.Array, max_cells: int) -> dict[str, jax.Arra
         0.5 * jnp.arctan2(-2.0 * b, c - a),
     )
 
-    # bbox via blockwise segment min/max
-    mins, maxs = segment_minmax_blockwise(jnp.stack([yf, xf]), seg, nseg)
+    # bbox min/max rode the central-moments scan (shared one-hot)
+    mins, maxs = bbox_mm
     minr = jnp.where(area > 0, mins[0], 0).astype(jnp.int32)
     minc = jnp.where(area > 0, mins[1], 0).astype(jnp.int32)
     maxr = jnp.where(area > 0, maxs[0] + 1, 0).astype(jnp.int32)
@@ -339,8 +340,13 @@ def measure_compacted(
     extras = jnp.stack(
         [perim_w, isfirst * (yv + 1.0), islast * (yv + 1.0)]
     )  # +1 so row 0 is distinguishable from empty
-    s_yy, s_xx, s_xy, extra_sums = segment_central_moments(
-        yv, xv, extras, seg_ids, cy, cx, nseg
+    # min/max quantities (bbox cols + intensity extrema) ride the SAME scan:
+    # the one-hot membership build dominates a standalone min/max pass, so
+    # fusing it here removes one full traversal of the compact set. Padding
+    # slots carry segment 0 (values zeroed above), whose column is dropped.
+    mm_vals = jnp.concatenate([xv[None], chans], axis=0)  # (1 + C, cap)
+    s_yy, s_xx, s_xy, extra_sums, mm = segment_central_moments(
+        yv, xv, extras, seg_ids, cy, cx, nseg, minmax_vals=mm_vals
     )
     perimeter = extra_sums[0]
     minr = jnp.where(area > 0, extra_sums[1] - 1.0, 0.0)
@@ -350,12 +356,7 @@ def measure_compacted(
         nn, s_yy, s_xx, s_xy
     )
 
-    # bbox cols + intensity extrema: blockwise min/max over the compact set.
-    # Padding slots carry segment id nseg, which matches no one-hot column,
-    # so one scan serves both min and max.
-    mm_vals = jnp.concatenate([xv[None], chans], axis=0)  # (1 + C, cap)
-    mm_seg = jnp.where(valid_px, seg_ids, nseg)
-    mins, maxs = segment_minmax_blockwise(mm_vals, mm_seg, nseg)
+    mins, maxs = mm
     minc = jnp.where(area > 0, mins[0], 0.0)
     maxc = jnp.where(area > 0, maxs[0] + 1.0, 0.0)
 

@@ -179,36 +179,52 @@ def segment_central_moments(
     cx: jax.Array,  # (S,) per-segment centroid cols
     num_segments: int,
     block: int = 8192,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    minmax_vals: jax.Array | None = None,  # (M, N) quantities for min/max
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, tuple[jax.Array, jax.Array] | None]:
     """Segment sums of centered second moments (dy^2, dx^2, dy*dx) plus extra
-    quantities, with NO per-pixel gathers.
+    quantities, with NO per-pixel gathers - and, optionally, segment min/max
+    of `minmax_vals` fused into the SAME blockwise scan.
 
     The per-pixel centroid lookup cy[seg] is reconstructed inside the scan as
     onehot @ cy using a 3-way bf16 split of the centroid table (~24 mantissa
     bits - float32-grade for coordinates up to 2^13), so the whole pass stays
-    on the MXU.
+    on the MXU. Fusing the min/max quantities reuses the per-block one-hot
+    membership (its construction is the dominant cost of a standalone
+    `segment_minmax_blockwise` pass); padding slots must carry segment id 0
+    (their extrema land in the dropped background column).
     """
     e, n = extra.shape
+    m = 0 if minmax_vals is None else minmax_vals.shape[0]
     pad = (-n) % block
     if pad:
         yf = jnp.pad(yf, (0, pad))
         xf = jnp.pad(xf, (0, pad))
         extra = jnp.pad(extra, ((0, 0), (0, pad)))
         segment_ids = jnp.pad(segment_ids, (0, pad))
+        if m:
+            minmax_vals = jnp.pad(minmax_vals, ((0, 0), (0, pad)))
     k = (n + pad) // block
 
     yb = yf.reshape(k, block)
     xb = xf.reshape(k, block)
     eb = extra.reshape(e, k, block).transpose(1, 0, 2)
     seg = segment_ids.reshape(k, block)
+    mb = (
+        minmax_vals.reshape(m, k, block).transpose(1, 0, 2)
+        if m
+        else jnp.zeros((k, 0, block), jnp.float32)
+    )
     seg_iota = jax.lax.broadcasted_iota(jnp.int32, (block, num_segments), 1)
 
     cy_parts = _split3_bf16(cy)
     cx_parts = _split3_bf16(cx)
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
 
     def body(carry, inp):
-        y, x, ex, labels = inp
-        onehot = (labels[:, None] == seg_iota).astype(jnp.bfloat16)  # (B, S)
+        sums_c, min_c, max_c = carry
+        y, x, ex, mv, labels = inp
+        member = labels[:, None] == seg_iota  # (B, S) bool
+        onehot = member.astype(jnp.bfloat16)
 
         def lookup(parts):
             acc = jnp.zeros((block,), jnp.float32)
@@ -235,9 +251,23 @@ def segment_central_moments(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (2*(3+E), S)
-        return carry + sums, None
 
-    init = jnp.zeros((2 * (3 + e), num_segments), jnp.float32)
-    total, _ = lax.scan(body, init, (yb, xb, eb, seg))
+        for qi in range(m):
+            v = mv[qi][:, None]
+            min_c = min_c.at[qi].set(
+                jnp.minimum(min_c[qi], jnp.min(jnp.where(member, v, big), axis=0))
+            )
+            max_c = max_c.at[qi].set(
+                jnp.maximum(max_c[qi], jnp.max(jnp.where(member, v, -big), axis=0))
+            )
+        return (sums_c + sums, min_c, max_c), None
+
+    init = (
+        jnp.zeros((2 * (3 + e), num_segments), jnp.float32),
+        jnp.full((m, num_segments), big, jnp.float32),
+        jnp.full((m, num_segments), -big, jnp.float32),
+    )
+    (total, mins, maxs), _ = lax.scan(body, init, (yb, xb, eb, mb, seg))
     total = total[: 3 + e] + total[3 + e :]
-    return total[0], total[1], total[2], total[3:]
+    minmax = (mins, maxs) if m else None
+    return total[0], total[1], total[2], total[3:], minmax

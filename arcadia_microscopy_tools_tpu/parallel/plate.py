@@ -101,6 +101,10 @@ class PlateRunConfig:
             fluorescence masks cover a few percent; wells that exceed the
             capacity (or max_cells) are automatically re-dispatched with 4x
             the capacity, up to 2 escalations, before being failed.
+        pair_cap: Static capacity for connected-components boundary-merge
+            edges. Cell-like images produce a few thousand edges; overflow
+            fails the convergence certificate, which re-dispatches the well
+            with 4x capacities like the other static caps.
     """
 
     seg_channel_index: int = 0
@@ -118,6 +122,7 @@ class PlateRunConfig:
     flow_threshold: float = 0.4
     niter: int = 200
     fg_cap_fraction: float = 0.0625
+    pair_cap: int = 16384
 
 
 class PlateResults:
@@ -239,7 +244,9 @@ def _build_well_program(
             # pure-XLA sweep path (which GSPMD partitions correctly,
             # inserting halo collectives for the shifted compares) runs
             # instead
-            roots, converged = component_roots(mask, allow_pallas=not spatial)
+            roots, converged = component_roots(
+                mask, pair_cap=config.pair_cap, allow_pallas=not spatial
+            )
             comp = compact_by_root(roots, cap)
             props, stats = measure_compacted(
                 comp.seg, comp.idx, roots, stack, config.max_cells, w
@@ -364,7 +371,7 @@ class PlateRunner:
         self, n_channels: int, shape: tuple[int, int], config: PlateRunConfig | None = None
     ):
         config = config or self.config
-        key = (n_channels, shape, config.fg_cap_fraction, config.max_cells)
+        key = (n_channels, shape, config.fg_cap_fraction, config.max_cells, config.pair_cap)
         if key not in self._compiled:
             spatial = self.mesh.shape[SPACE_AXIS] > 1
             well_fn = _build_well_program(
@@ -384,6 +391,7 @@ class PlateRunner:
             self.config,
             fg_cap_fraction=min(1.0, self.config.fg_cap_fraction * factor),
             max_cells=self.config.max_cells * factor,
+            pair_cap=self.config.pair_cap * factor,
         )
 
     def _batch_size(self) -> int:
@@ -469,8 +477,9 @@ class PlateRunner:
             )
         if not bool(health["converged"][well_index]):
             return (
-                "fatal",
-                "connected-components labeling did not converge (pathological "
+                "capacity",
+                "connected-components labeling did not converge (boundary-edge "
+                f"capacity pair_cap={config.pair_cap} exceeded, or pathological "
                 "component shapes); results would be unreliable",
             )
         return None
