@@ -14,6 +14,17 @@ import numpy as np
 __all__ = ["synthesize_cells"]
 
 
+def _gaussian_blur(image: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable Gaussian blur (host-side; training-data generation only)."""
+    radius = max(1, int(3 * sigma + 0.5))
+    t = np.arange(-radius, radius + 1, dtype=np.float64)
+    kernel = np.exp(-0.5 * (t / sigma) ** 2)
+    kernel /= kernel.sum()
+    padded = np.pad(image, radius, mode="edge")
+    rows = np.apply_along_axis(lambda r: np.convolve(r, kernel, "valid"), 1, padded)
+    return np.apply_along_axis(lambda c: np.convolve(c, kernel, "valid"), 0, rows)
+
+
 def synthesize_cells(
     rng: np.random.Generator,
     shape: tuple[int, int] = (256, 256),
@@ -23,6 +34,11 @@ def synthesize_cells(
     noise: float = 0.05,
     separation: float = 0.9,
     gradient: float = 0.1,
+    cell_contrast: float = 1.0,
+    background_level: float = 0.0,
+    invert: bool = False,
+    blur_sigma: float = 0.0,
+    shot_noise: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Generate one synthetic image and its label mask.
 
@@ -31,6 +47,16 @@ def synthesize_cells(
             0.9 (default) keeps cells mostly apart; ~0.6 produces heavily
             touching clusters (the hard case for instance segmentation).
         gradient: Total illumination-gradient amplitude across the frame.
+        cell_contrast: Multiplier on the cell intensity profile relative to
+            background; small values (0.1-0.3) emulate faint fluorescence.
+        background_level: Constant background offset (real cameras never
+            read zero).
+        invert: Dark cells on a bright field (brightfield/phase contrast
+            polarity) instead of bright-on-dark fluorescence.
+        blur_sigma: Gaussian PSF blur in pixels applied to the clean image
+            before noise (optical defocus / diffraction).
+        shot_noise: Poisson shot-noise strength; 0 disables. Emulates photon
+            statistics at an effective full-well of ~(1/shot_noise)^2 counts.
 
     Returns:
         (image float32 (H, W) in [0, 1], labels int32 (H, W)).
@@ -70,10 +96,26 @@ def synthesize_cells(
         profile = np.where(inside, shade, 0.0)
         image = np.where(new, profile, image)
 
-    # illumination gradient + noise
+    if invert:
+        # bright field with darker cells: field level sits above the cells by
+        # the requested contrast
+        field = background_level + cell_contrast
+        image = field - cell_contrast * image
+    else:
+        image = background_level + cell_contrast * image
+
+    if blur_sigma > 0:
+        image = _gaussian_blur(image, blur_sigma)
+
+    # illumination gradient + sensor noise (shot noise scales with signal)
     gx, gy = rng.uniform(0.3, 0.7), rng.uniform(0.3, 0.7)
     ramp = gradient * (gx * (xx / w) + gy * (yy / h))
-    image = image + ramp + rng.normal(0, noise, shape)
+    image = image + ramp
+    if shot_noise > 0:
+        image = image + rng.normal(0, 1, shape) * shot_noise * np.sqrt(
+            np.clip(image, 0, None)
+        )
+    image = image + rng.normal(0, noise, shape)
     image = np.clip(image, 0, 1).astype(np.float32)
 
     # compact labels (cells fully overwritten by later ones would leave gaps)

@@ -36,19 +36,36 @@ def make_batch(rng: np.random.Generator, batch: int, size: int):
 
     Difficulty is sampled per image: separation down to 0.55 radius-sums
     (heavily touching clusters - the case flow segmentation exists for),
-    illumination gradients up to 0.25, and a range of noise levels.
+    illumination gradients up to 0.25, a range of noise levels, plus the
+    domain axes real microscopy spans and pure geometry does not: small and
+    faint cells (low SNR fluorescence), inverted polarity (brightfield /
+    phase), PSF blur, camera shot noise, and nonzero background offsets.
+    The inputs are per-image 1-99 percentile normalized, matching exactly
+    what the segmentation wrapper feeds the net at inference time
+    (models/segmentation.py), so training sees the deployment distribution.
     """
     images = np.zeros((batch, size, size, 3), np.float32)
     labels = np.zeros((batch, size, size), np.int32)
     for i in range(batch):
+        r_lo = float(rng.uniform(3.0, 9.0))
+        r_hi = r_lo * float(rng.uniform(1.3, 2.6))
         img, lbl = synthesize_cells(
             rng,
             (size, size),
             n_cells=int(rng.integers(8, 28)),
+            radius_range=(r_lo, r_hi),
             separation=float(rng.uniform(0.55, 1.0)),
             gradient=float(rng.uniform(0.0, 0.25)),
-            noise=float(rng.uniform(0.03, 0.09)),
+            noise=float(rng.uniform(0.01, 0.09)),
+            cell_contrast=float(rng.uniform(0.12, 1.0)),
+            background_level=float(rng.uniform(0.0, 0.25)),
+            invert=bool(rng.random() < 0.25),
+            blur_sigma=float(rng.uniform(0.0, 1.6)),
+            shot_noise=float(rng.uniform(0.0, 0.06)),
         )
+        # the inference-time normalization (percentile 1-99 contrast stretch)
+        p1, p99 = np.percentile(img, [1.0, 99.0])
+        img = np.clip((img - p1) / max(p99 - p1, 1e-6), 0.0, 1.0).astype(np.float32)
         images[i] = img[..., None].repeat(3, axis=-1)
         labels[i] = lbl
     return images, labels

@@ -39,6 +39,20 @@ SUITES = {
     "touching clusters": dict(separation=0.6, gradient=0.1, noise=0.05, n_cells=18),
     "strong gradient + noise": dict(separation=0.9, gradient=0.3, noise=0.09, n_cells=14),
     "dense": dict(separation=0.75, gradient=0.15, noise=0.06, n_cells=30),
+    # domain axes real microscopy spans (round-2 augmentation targets)
+    "faint small cells (low SNR)": dict(
+        separation=0.9, gradient=0.05, noise=0.02, n_cells=20,
+        radius_range=(4.0, 8.0), cell_contrast=0.18, background_level=0.1,
+        shot_noise=0.04,
+    ),
+    "brightfield polarity (inverted)": dict(
+        separation=0.85, gradient=0.1, noise=0.04, n_cells=14,
+        invert=True, cell_contrast=0.5, background_level=0.15,
+    ),
+    "defocused + shot noise": dict(
+        separation=0.85, gradient=0.1, noise=0.03, n_cells=14,
+        blur_sigma=1.4, shot_noise=0.05, cell_contrast=0.7,
+    ),
 }
 N_IMAGES = 8
 SIZE = 256
