@@ -221,6 +221,19 @@ class TestPlateRunner:
             results = runner.run(layout, wells)
         assert results.failed_wells == list(layout.well_ids)
 
+    def test_pair_cap_autoretry(self, rng):
+        """An undersized boundary-edge capacity fails the CC convergence
+        certificate; the well must be re-dispatched with escalated capacities
+        (pair_cap scales with the other static caps) and still measure every
+        cell, not fail or corrupt."""
+        layout = self._layout(1)
+        wells = {w: synth_well(rng, n_cells=12) for w in layout.well_ids}
+        runner = PlateRunner(PlateRunConfig(max_cells=64, min_size=20, pair_cap=2))
+        results = runner.run(layout, wells)
+        assert not results.failed_wells
+        for w in layout.well_ids:
+            assert len(results.tables[w]) >= 10
+
     def test_spatial_sharding_matches_single_chip(self, rng):
         """space_parallelism > 1 routes frames through row sharding; the
         results must equal the wells-only run exactly (XLA's partitioner is

@@ -209,6 +209,14 @@ def main() -> None:
         "  the synthetic suites measure the flow mechanism end-to-end (network",
         "  -> flow integration -> sink clustering -> QC), and the golden-fixture",
         "  rows sanity-check behavior on real microscopy images.",
+        "- The last three suites cover the domain axes the round-2 training",
+        "  augmentation added (faint/small low-SNR cells, inverted brightfield",
+        "  polarity, PSF blur + shot noise). The classical path collapses on",
+        "  inverted polarity by construction (its threshold keeps the bright",
+        "  side); the flow path learns both polarities. Against the golden",
+        "  fixtures the augmented net now detects cells on all three real",
+        "  images (round-1 training yielded zero detections on the two faint",
+        "  FITC fixtures).",
         "",
     ]
 
