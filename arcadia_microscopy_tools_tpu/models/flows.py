@@ -115,9 +115,23 @@ def follow_flows_indices(
     own = (yy * w + xx).astype(jnp.int32)
     nxt = jnp.where(active, ny * w + nx, own).ravel()
 
+    # Pointer doubling with early exit: after k compositions every pixel has
+    # advanced min(2^k, its distance-to-sink) steps, and sinks are fixpoints
+    # of the discretized dynamics, so once nothing changes further gathers
+    # are no-ops. Cell-scale basins (radius ~15 px) converge in ~5
+    # compositions; the cap preserves the >= niter contract.
     steps = max(1, int(np.ceil(np.log2(max(niter, 2)))))
-    for _ in range(steps):
-        nxt = nxt[nxt]
+
+    def cond(state):
+        it, _, changed = state
+        return changed & (it < steps)
+
+    def body(state):
+        it, cur, _ = state
+        new = cur[cur]
+        return it + 1, new, jnp.any(new != cur)
+
+    _, nxt, _ = lax.while_loop(cond, body, (jnp.int32(0), nxt, jnp.bool_(True)))
     return nxt.reshape(h, w)
 
 
@@ -136,12 +150,13 @@ def masks_from_flows(
     return masks_from_landing(land_y * w + land_x, active, min_size, sink_count)
 
 
-@partial(jax.jit, static_argnames=("min_size", "sink_count"))
+@partial(jax.jit, static_argnames=("min_size", "sink_count", "size_cap"))
 def masks_from_landing(
     landing_idx: jax.Array,  # (H, W) int32 flat landing indices
     active: jax.Array,  # (H, W) bool
     min_size: int = 15,
     sink_count: int = 3,
+    size_cap: int = 4096,
 ) -> jax.Array:
     """Cluster converged pixels into instance masks.
 
@@ -154,8 +169,6 @@ def masks_from_landing(
     h, w = active.shape
     n = h * w
     land_flat = landing_idx.ravel()
-    land_y = land_flat // w
-    land_x = land_flat % w
     act = active.ravel()
 
     counts = jnp.zeros(n, jnp.int32).at[jnp.where(act, land_flat, n - 1)].add(
@@ -173,25 +186,38 @@ def masks_from_landing(
     sink_labels = cc_label(sink_dil)  # int32 (H, W)
     sink_labels = jnp.where(sink_map, sink_labels, 0)  # shrink back to true sinks
 
-    # each active pixel takes the label at its landing position; if the
-    # landing pixel has no label, look at the 3x3 neighborhood around it
-    lbl_flat = sink_labels.ravel()
-    direct = lbl_flat[land_flat]
-
-    mopped = direct
+    # Each active pixel takes the label at its landing position, with a 3x3
+    # mop-up for pixels landing just off a sink. Both resolve through ONE
+    # gather from a composite image: a labeled pixel keeps its own label,
+    # an unlabeled one exposes the max label of its 3x3 neighborhood (a
+    # shifted-max VPU pass). Gathering the composite at the landing index is
+    # then exactly direct-if-labeled-else-mopped; the previous formulation
+    # spent nine 262K-element gathers on this (~3 ms each on TPU), the
+    # shifted max costs one fused memory pass.
+    mop = sink_labels
+    lbl_pad = jnp.pad(sink_labels, 1)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            ny = jnp.clip(land_y + dy, 0, h - 1)
-            nx = jnp.clip(land_x + dx, 0, w - 1)
-            mopped = jnp.maximum(mopped, lbl_flat[(ny * w + nx).ravel()])
-    labels = jnp.where(direct > 0, direct, mopped)
+            mop = jnp.maximum(mop, lax.dynamic_slice(lbl_pad, (1 + dy, 1 + dx), (h, w)))
+    composite = jnp.where(sink_labels > 0, sink_labels, mop)
+    labels = composite.ravel()[land_flat]
     labels = jnp.where(act, labels, 0).reshape(h, w)
 
-    # remove small masks
-    sizes = jnp.zeros(n + 1, jnp.int32).at[labels.ravel()].add(1)
-    labels = jnp.where(sizes[labels] >= min_size, labels, 0)
+    if min_size > 0:
+        # remove small masks: per-label pixel counts via the MXU segment-sum
+        # (scatter-add over a 262K image serializes; labels are bounded by
+        # the sink-component count, far under the column budget)
+        from ..ops.segment_reduce import segment_sums_matmul
+
+        seg = jnp.clip(labels.ravel(), 0, size_cap - 1)
+        sizes = segment_sums_matmul(
+            jnp.ones((1, n), jnp.float32), seg, size_cap, exact=False
+        )[0]
+        labels = jnp.where(
+            sizes[jnp.clip(labels, 0, size_cap - 1)] >= min_size, labels, 0
+        )
     return labels
 
 
@@ -305,15 +331,17 @@ def compute_masks(
     The network is trained against 5x-scaled unit flows (the Cellpose
     target convention); integration and QC use the unit-scale field.
     """
-    from ..ops.labeling import relabel_sequential
+    from ..ops.labeling import relabel_sequential, relabel_sequential_filtered
 
     flows = network_output[..., :2] / 5.0
     cellprob = network_output[..., 2]
     active = cellprob > cellprob_threshold
 
     landing = follow_flows_indices(flows, active, niter=niter)
-    labels = masks_from_landing(landing, active, min_size=min_size)
-    labels = relabel_sequential(labels)
+    # the size filter rides the relabel sort (run lengths are free in sorted
+    # order), so masks_from_landing skips its own size pass
+    labels = masks_from_landing(landing, active, min_size=0)
+    labels = relabel_sequential_filtered(labels, min_size)
 
     if flow_threshold > 0:
         errors = flow_error(labels, flows, max_cells)

@@ -521,6 +521,37 @@ def relabel_sequential(label_image: jax.Array) -> jax.Array:
     return out.reshape(lbl.shape)
 
 
+@partial(jax.jit, static_argnames=("min_size",))
+def relabel_sequential_filtered(label_image: jax.Array, min_size: int) -> jax.Array:
+    """Drop labels smaller than `min_size` pixels AND compact the survivors
+    to consecutive 1..N, in ONE sort-based pass.
+
+    Equivalent to a size filter followed by `relabel_sequential`, but the
+    group sizes fall out of the same (value, position) sort that computes the
+    ranks (run length = last-slot index - first-slot index + 1 in sorted
+    order), so the separate per-pixel size lookup and its table build
+    disappear.
+    """
+    lbl = jnp.asarray(label_image)
+    flat = lbl.ravel()
+    n = flat.size
+    s, pos = lax.sort((flat, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    edge = jnp.ones((1,), bool)
+    is_new = jnp.concatenate([edge, s[1:] != s[:-1]])
+    is_last = jnp.concatenate([s[1:] != s[:-1], edge])
+    first_idx = lax.cummax(jnp.where(is_new, iota, 0))
+    # last index of each run, propagated backward over the run
+    last_idx = n - 1 - lax.cummax(jnp.where(is_last[::-1], iota, 0))[::-1]
+    run = last_idx - first_idx + 1
+
+    keep = (s > 0) & (run >= min_size)
+    ranks = jnp.where(keep, jnp.cumsum((is_new & keep).astype(jnp.int32)), 0)
+    out = jnp.zeros((n,), jnp.int32).at[pos].set(ranks)
+    return out.reshape(lbl.shape)
+
+
 @jax.jit
 def clear_border(label_image: jax.Array) -> jax.Array:
     """Zero out any label that touches the image border
