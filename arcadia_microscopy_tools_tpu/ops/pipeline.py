@@ -148,10 +148,29 @@ class Pipeline:
             out = operation(out)
         return out
 
+    @staticmethod
+    def _shard_frames(x):
+        """Distribute the leading (frame) axis across every visible device.
+
+        The reference's parallel mode is a host thread pool; here each frame
+        is an independent program instance, so laying the stack out over a
+        1-D device mesh makes XLA run the vmapped fold data-parallel with no
+        collectives. Falls back to single-device layout when the frame count
+        does not divide the device count (GSPMD would force uneven padding).
+        """
+        devices = jax.devices()
+        if len(devices) <= 1 or x.shape[0] % len(devices) != 0:
+            return x
+        mesh = jax.sharding.Mesh(np.array(devices), ("frames",))
+        spec = jax.sharding.PartitionSpec("frames")
+        return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
+
     def __call__(self, intensities):
         """Run the fused fold on *intensities* (vmapped over axis 0 when
-        parallel=True, which requires >= 3D input). NumPy input returns NumPy
-        (floats widened to float64); device input stays on device."""
+        parallel=True, which requires >= 3D input; the stack is sharded
+        across all visible devices when the frame count allows). NumPy input
+        returns NumPy (floats widened to float64); device input stays on
+        device."""
         if self.parallel and intensities.ndim < 3:
             raise ValueError(
                 f"Parallel mode requires at least 3D input (got {intensities.ndim}D). "
@@ -170,8 +189,11 @@ class Pipeline:
                 tuple(self.operations), self.parallel, self.preserve_dtype
             )
 
+        x = jnp.asarray(intensities)
+        if self.parallel:
+            x = self._shard_frames(x)
         try:
-            result = fold(jnp.asarray(intensities))
+            result = fold(x)
         except (
             jax.errors.TracerArrayConversionError,
             jax.errors.ConcretizationTypeError,

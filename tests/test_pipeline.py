@@ -225,3 +225,34 @@ class TestPipelineExecution:
 
         n = int(np.asarray(label(mask)).max())
         assert n == 3
+
+
+class TestParallelSharding:
+    def test_parallel_stack_sharded_across_devices(self):
+        """parallel=True lays the frame axis over every device (the CPU test
+        topology exposes 8): results match the serial fold exactly and the
+        compiled output actually spans the mesh."""
+        import jax
+
+        from arcadia_microscopy_tools_tpu.operations import rescale_by_percentile
+
+        rng = np.random.default_rng(7)
+        stack = (rng.random((8, 64, 64)) * 4000).astype(np.uint16)
+        pipe = Pipeline([ImageOperation(rescale_by_percentile, (1, 99))], parallel=True)
+        serial = Pipeline([ImageOperation(rescale_by_percentile, (1, 99))])
+
+        out = pipe(stack)
+        expected = np.stack([serial(f) for f in stack])
+        np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+        sharded_in = Pipeline._shard_frames(jax.numpy.asarray(stack))
+        assert len(sharded_in.sharding.device_set) == len(jax.devices())
+
+    def test_parallel_nondivisible_frame_count_still_works(self):
+        from arcadia_microscopy_tools_tpu.operations import rescale_by_percentile
+
+        rng = np.random.default_rng(7)
+        stack = (rng.random((5, 32, 32)) * 4000).astype(np.uint16)
+        pipe = Pipeline([ImageOperation(rescale_by_percentile, (1, 99))], parallel=True)
+        out = pipe(stack)
+        assert out.shape == stack.shape
