@@ -13,8 +13,10 @@ plate, BASELINE.md section b).
 Env knobs: BENCH_BATCH (wells per dispatch), BENCH_SIZE, BENCH_REPS,
 BENCH_CONFIG selects a BASELINE.md config instead of the headline run:
   2 = batched preprocessing only (Gaussian + median + rolling-ball, 2048^2)
+  3 = timelapse classical (local threshold + morphology + CC, 1024^2 stack)
   4 = U-Net inference + flow-tracking mask reconstruction
-(The headline run covers configs 1/3/5's compute path end-to-end.)
+  5 = decode-inclusive plate run from real ND2 files on disk
+(The headline run covers configs 1/5's compute path end-to-end.)
 """
 
 from __future__ import annotations
@@ -93,6 +95,51 @@ def _bench_unet(B: int, reps: int) -> None:
     rate = B * reps / (time.time() - t0)
     print(json.dumps({
         "metric": "512x512 U-Net segment (forward + flow tracking)",
+        "value": round(rate, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(rate / 12.5, 3),
+    }))
+
+
+def _bench_timelapse_classical(B: int, T: int, H: int, reps: int) -> None:
+    """BASELINE config 3: local threshold + morphology + connected components
+    over a timelapse stack, one fused vmapped program per batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from arcadia_microscopy_tools_tpu.ops.labeling import label
+    from arcadia_microscopy_tools_tpu.ops.morphology import binary_opening, disk
+    from arcadia_microscopy_tools_tpu.ops.threshold import threshold_local
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(400, 40, (B * T, H, H)).clip(0, None)
+    yy, xx = np.mgrid[0:32, 0:32]
+    blob = 2500 * np.exp(-((yy - 16) ** 2 + (xx - 16) ** 2) / 24.0)
+    for f in range(B * T):
+        for _ in range(120):
+            cy, cx = rng.integers(16, H - 16), rng.integers(16, H - 16)
+            base[f, cy - 16 : cy + 16, cx - 16 : cx + 16] += blob
+    stack = jnp.asarray(base.astype(np.uint16))
+    footprint = disk(2)
+
+    @jax.jit
+    def program(frames):
+        def one(img):
+            mask = img.astype(jnp.float32) > threshold_local(img, block_size=33, offset=-50.0)
+            mask = binary_opening(mask, footprint)
+            return label(mask, checked=False)
+
+        return jax.vmap(one)(frames)
+
+    _ = int(np.asarray(program(stack)).ravel()[0])
+    t0 = time.time()
+    out = None
+    for _ in range(reps):
+        out = program(stack)
+    _ = int(np.asarray(out).ravel()[0])
+    rate = B * T * reps / (time.time() - t0)
+    print(json.dumps({
+        "metric": f"{H}x{H} timelapse classical (local threshold+opening+CC)",
         "value": round(rate, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(rate / 12.5, 3),
@@ -190,6 +237,14 @@ def main() -> None:
             int(os.environ.get("BENCH_BATCH", "2")),
             int(os.environ.get("BENCH_SIZE", "2048")),
             int(os.environ.get("BENCH_REPS", "5")),
+        )
+        return
+    if config_mode == "3":
+        _bench_timelapse_classical(
+            int(os.environ.get("BENCH_BATCH", "2")),
+            int(os.environ.get("BENCH_T", "8")),
+            int(os.environ.get("BENCH_SIZE", "1024")),
+            int(os.environ.get("BENCH_REPS", "3")),
         )
         return
     if config_mode == "4":
