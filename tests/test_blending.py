@@ -172,3 +172,19 @@ class TestCreateOverlay:
 
         out = create_overlay(jnp.asarray(background), [Layer(CHAN_BLUE, ones_layer)])
         assert isinstance(out, jax.Array)
+
+
+class TestEmptyLayers:
+    def test_no_layers_returns_gray_rgb(self):
+        """An empty layer list broadcasts the background to RGB unchanged."""
+        bg = np.linspace(0, 1, 64 * 64).reshape(64, 64)
+        out = create_overlay(bg, [])
+        assert out.shape == (64, 64, 3)
+        for c in range(3):
+            np.testing.assert_allclose(out[..., c], bg, atol=1e-6)
+
+    def test_overlay_channels_empty_dict(self):
+        bg = np.full((32, 32), 0.5)
+        out = overlay_channels(bg, {})
+        assert out.shape == (32, 32, 3)
+        np.testing.assert_allclose(out[..., 0], bg, atol=1e-6)

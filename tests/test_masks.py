@@ -375,6 +375,26 @@ class TestFilter:
         assert set(filtered.intensity_image_dict) == {DAPI, FITC}
 
 
+    def test_filter_chaining(self, multi_cell_image):
+        """Filters compose: each derived mask filters again from its own
+        property table (reference behavior)."""
+        mask = SegmentationMask(multi_cell_image, remove_edge_cells=False)
+        step1 = mask.filter("area", min_value=1)
+        step2 = step1.filter("circularity", min_value=0.0)
+        assert step2.num_cells <= step1.num_cells <= mask.num_cells
+        assert step2.num_cells >= 1
+
+    def test_only_circularity_requested_no_leaked_columns(self, interior_cell_image):
+        """Requesting only a derived property must not leak its ingredients
+        (area/perimeter) into the output table."""
+        mask = SegmentationMask(
+            interior_cell_image,
+            remove_edge_cells=False,
+            property_names=["circularity"],
+        )
+        assert set(mask.cell_properties) == {"circularity"}
+
+
 class TestConvertToMicrons:
     def test_scaling_rules(self, interior_cell_image):
         mask = _make_mask(interior_cell_image)
