@@ -642,7 +642,10 @@ class PlateRunner:
                 from ..utils import get_tqdm
 
                 progress = get_tqdm()(total=len(batches), desc="Plate")
-            with ThreadPoolExecutor(max_workers=1) as pool:
+            # one worker per in-flight batch: file decode is GIL-releasing
+            # (mmap reads + ctypes C++ de-interleave), so decodes genuinely
+            # parallelize across host cores on real hardware
+            with ThreadPoolExecutor(max_workers=max(1, prefetch)) as pool:
                 inflight = deque(
                     pool.submit(load_batch, b) for b in batches[:prefetch]
                 )

@@ -80,6 +80,17 @@ def build(execute: bool = True) -> None:
 
     import markdown
 
+    arch_md = (DOCS / "architecture.md").read_text()
+    arch_body = markdown.markdown(arch_md, extensions=["tables", "fenced_code"])
+    (BUILD / "architecture.html").write_text(
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        "<title>architecture</title>"
+        "<style>body{font-family:sans-serif;max-width:52rem;margin:2rem auto;"
+        "padding:0 1rem;line-height:1.5}</style></head><body>"
+        f"{arch_body}</body></html>"
+    )
+    print(f"rendered {BUILD / 'architecture.html'}")
+
     index_md = (DOCS / "index.md").read_text()
     links = "\n".join(
         f'<li><a href="{p}">{p.removesuffix(".html").replace("_", " ")}</a></li>'
