@@ -81,7 +81,8 @@ def wavelength_to_hex(wavelength_nm: float) -> str:
             f"got {wavelength_nm} nm"
         )
     rgb = np.clip(_srgb_encode(_XYZ_TO_SRGB @ _wavelength_to_xyz(wavelength_nm)), 0, 1)
-    return "#" + "".join(f"{int(round(float(v) * 255)):02X}" for v in rgb)
+    # truncation (not rounding) matches the reference's (rgb * 255).astype(int)
+    return "#" + "".join(f"{int(float(v) * 255):02X}" for v in rgb)
 
 
 @dataclass(frozen=True)

@@ -16,13 +16,10 @@ __all__ = ["synthesize_cells"]
 
 def _gaussian_blur(image: np.ndarray, sigma: float) -> np.ndarray:
     """Separable Gaussian blur (host-side; training-data generation only)."""
-    radius = max(1, int(3 * sigma + 0.5))
-    t = np.arange(-radius, radius + 1, dtype=np.float64)
-    kernel = np.exp(-0.5 * (t / sigma) ** 2)
-    kernel /= kernel.sum()
-    padded = np.pad(image, radius, mode="edge")
-    rows = np.apply_along_axis(lambda r: np.convolve(r, kernel, "valid"), 1, padded)
-    return np.apply_along_axis(lambda c: np.convolve(c, kernel, "valid"), 0, rows)
+    from scipy.ndimage import gaussian_filter1d
+
+    out = gaussian_filter1d(image, sigma, axis=0, mode="nearest", truncate=3.0)
+    return gaussian_filter1d(out, sigma, axis=1, mode="nearest", truncate=3.0)
 
 
 def synthesize_cells(

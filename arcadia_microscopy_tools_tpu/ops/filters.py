@@ -182,17 +182,20 @@ def difference_of_gaussians(
     narrow one.
     """
     img = to_float(x)
-    # Center before filtering: both kernels are normalized and "nearest"
-    # padding preserves constants, so DoG(img) == DoG(img - m) exactly in
-    # real arithmetic. Removing the DC component first makes the band
-    # matmuls numerically benign on TPU (MXU accumulation error is relative
-    # to operand magnitude, and the DC term dominates it): a constant image
-    # yields exactly zero instead of amplified rounding noise, matching the
-    # scipy/skimage float64 behavior the degenerate-input contracts assume.
-    m = jnp.mean(img)
-    centered = img - m
-    low = gaussian_filter(centered, low_sigma, mode=mode, truncate=truncate)
-    high = gaussian_filter(centered, high_sigma, mode=mode, truncate=truncate)
+    # Center before filtering when the pad mode preserves constants
+    # (everything except zero-fill "constant"): both kernels are normalized,
+    # so DoG(img) == DoG(img - m) exactly in real arithmetic. Removing the
+    # DC component first makes the band matmuls numerically benign on TPU
+    # (MXU accumulation error is relative to operand magnitude, and the DC
+    # term dominates it): a constant image yields exactly zero instead of
+    # amplified rounding noise, matching the scipy/skimage float64 behavior
+    # the degenerate-input contracts assume. With "constant" padding the
+    # identity does not hold (the zero fill is not shifted), so the input
+    # passes through uncentered there.
+    if mode != "constant":
+        img = img - jnp.mean(img)
+    low = gaussian_filter(img, low_sigma, mode=mode, truncate=truncate)
+    high = gaussian_filter(img, high_sigma, mode=mode, truncate=truncate)
     return low - high
 
 

@@ -391,7 +391,7 @@ def _seed_boundary_strips(lbl, keys, roots, n, block):
 def component_roots(
     fg: jax.Array,
     connectivity: int = 2,
-    pair_cap: int = 16384,
+    pair_cap: int = 65536,
     allow_pallas: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-pixel component root indices, gather-free.

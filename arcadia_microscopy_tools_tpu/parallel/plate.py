@@ -500,11 +500,15 @@ class PlateRunner:
                 array. Host decode errors are isolated per well.
             channels: Channel identities for intensity-stat naming.
             show_progress: Display a progress bar over batches.
-            prefetch: Batches decoded ahead on a background thread, so host
-                file decode overlaps device compute (the reference decodes
-                and computes strictly serially; with prefetch the reported
-                decode_s and device_s timings can overlap and sum past the
-                wall time). 0 disables pipelining.
+            prefetch: Batches decoded ahead on a worker pool (one thread
+                per in-flight batch), so host file decode overlaps device
+                compute (the reference decodes and computes strictly
+                serially; with prefetch the reported decode_s and device_s
+                timings can overlap and sum past the wall time). 0 disables
+                pipelining. With prefetch > 1 the image_source is invoked
+                from multiple threads concurrently and must be thread-safe -
+                open a fresh file handle per call (as `load_nd2` /
+                `load_lif_image` do) rather than sharing one seekable handle.
 
         Returns:
             PlateResults with one table per well (None for failed wells).
@@ -514,7 +518,6 @@ class PlateRunner:
         tables: dict[str, pd.DataFrame | None] = {}
 
         def fetch(well_id: str) -> np.ndarray | None:
-            t0 = time.time()
             try:
                 img = (
                     image_source(well_id)
@@ -532,8 +535,6 @@ class PlateRunner:
                     stacklevel=2,
                 )
                 return None
-            finally:
-                timings["decode_s"] += time.time() - t0
 
         pending: list[str] = []
         for well_id in layout.well_ids:
@@ -610,23 +611,36 @@ class PlateRunner:
             timings["assemble_s"] += time.time() - t0
 
         def load_batch(batch_ids: list[str]):
-            """Decode one batch's images (runs on the prefetch worker).
+            """Decode one batch's images (runs on a prefetch worker).
 
             Staging (host->device transfer) deliberately happens on the MAIN
             thread in dispatch(): through tunneled backends, transfers
             serialize with program execution, so issuing them early from the
             worker only delays the in-flight batch (measured 2x slower).
+            Workers touch no shared state - failures and decode seconds are
+            returned for the main thread to record (a += on the shared
+            timings dict from several workers would lose increments).
             """
+            t0 = time.time()
             images: list[np.ndarray] = []
             ok_ids: list[str] = []
+            failed: list[str] = []
             for well_id in batch_ids:
                 img = fetch(well_id)
                 if img is None:
-                    tables[well_id] = None
+                    failed.append(well_id)
                 else:
                     images.append(img)
                     ok_ids.append(well_id)
-            return images, ok_ids, None
+            return images, ok_ids, failed, time.time() - t0
+
+        def record_batch(loaded):
+            """Main-thread bookkeeping for one decoded batch."""
+            images, ok_ids, failed, decode_s = loaded
+            for well_id in failed:
+                tables[well_id] = None
+            timings["decode_s"] += decode_s
+            return images, ok_ids
 
         retry: dict[str, np.ndarray] = {}
         if prefetch > 0:
@@ -651,14 +665,13 @@ class PlateRunner:
                 )
                 next_idx = min(prefetch, len(batches))
                 while inflight:
-                    images, ok_ids, staged = inflight.popleft().result()
+                    images, ok_ids = record_batch(inflight.popleft().result())
                     if next_idx < len(batches):
                         inflight.append(pool.submit(load_batch, batches[next_idx]))
                         next_idx += 1
                     if images:
                         dispatch(
                             images, ok_ids, self.config, retry, retryable=True,
-                            staged=staged,
                         )
                     if progress is not None:
                         progress.update(1)
@@ -671,11 +684,10 @@ class PlateRunner:
 
                 iterator = get_tqdm()(batches, desc="Plate")
             for batch_ids in iterator:
-                images, ok_ids, staged = load_batch(batch_ids)
+                images, ok_ids = record_batch(load_batch(batch_ids))
                 if images:
                     dispatch(
                         images, ok_ids, self.config, retry, retryable=True,
-                        staged=staged,
                     )
 
         # capacity escalation: re-dispatch dense wells with 4x / 16x the

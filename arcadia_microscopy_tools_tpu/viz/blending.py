@@ -208,7 +208,7 @@ def create_overlay(
     if background.ndim != 2:
         raise ValueError(f"Expected 2D background array, got shape {background.shape}")
 
-    _clipped_unit_range(background, "Background has values")
+    background = _clipped_unit_range(background, "Background has values")
 
     mismatched = [l for l in layers if l.intensities.shape != background.shape]
     if mismatched:
