@@ -391,7 +391,7 @@ def _seed_boundary_strips(lbl, keys, roots, n, block):
 def component_roots(
     fg: jax.Array,
     connectivity: int = 2,
-    pair_cap: int = 65536,
+    pair_cap: int | None = None,
     allow_pallas: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-pixel component root indices, gather-free.
@@ -402,6 +402,8 @@ def component_roots(
     ~40 ms on TPU; the seeded re-sweep runs in VMEM).
 
     Returns:
+        pair_cap None selects a size-scaled default (see above); the
+        certificate catches any overflow.
         (roots, converged): `roots` is an int32 image of component-minimum
         linear indices (sentinel = H*W on background); `converged` is a
         device boolean certifying the fixpoint (one extra neighbor-min pass:
@@ -413,6 +415,12 @@ def component_roots(
     n = h * w
     sentinel = jnp.int32(n)
     offsets = _NEIGHBORS_8 if connectivity == 2 else _NEIGHBORS_4
+    if pair_cap is None:
+        # The union-find scatter cost scales with the TABLE size, not with
+        # the real edge count, so the default cap scales with the image
+        # (n/64 comfortably dominates the ~n/2000 real edges of cell-like
+        # masks) between a 16K floor and the historical 64K ceiling.
+        pair_cap = max(16384, min(65536, n // 64))
 
     lbl, block = _local_phase(fg, connectivity, allow_pallas)
     La, Lb = _boundary_pairs(lbl, sentinel, offsets, block)

@@ -125,7 +125,10 @@ def _bench_timelapse_classical(B: int, T: int, H: int, reps: int) -> None:
     @jax.jit
     def program(frames):
         def one(img):
-            mask = img.astype(jnp.float32) > threshold_local(img, block_size=33, offset=-50.0)
+            # offset below the local mean by less than the blob amplitude:
+            # cells (locally bright) pass, background (= its own local mean
+            # plus noise) does not
+            mask = img.astype(jnp.float32) > threshold_local(img, block_size=33, offset=-150.0)
             mask = binary_opening(mask, footprint)
             return label(mask, checked=False)
 
