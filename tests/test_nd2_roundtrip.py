@@ -178,3 +178,19 @@ class TestRGB:
             assert f.sizes == {"C": 2, "S": 3, "Y": 20, "X": 20}
             arr = f.asarray()
         np.testing.assert_array_equal(arr, frame)
+
+    def test_nested_montage_and_time(self, rng, tmp_path):
+        positions = [(0.0, 0.0), (256.0, 0.0)]
+        stack = (rng.random((2, 3, 1, 16, 16)) * 700).astype(np.uint16)  # (P, T, C, Y, X)
+        path = write_nd2(
+            tmp_path / "pt.nd2", stack, channel_names=["DAPI"],
+            xy_positions=positions, time_loop=True,
+        )
+        loaded = MicroscopyImage.from_nd2_path(path)
+        assert loaded.sizes == {"P": 2, "T": 3, "Y": 16, "X": 16}
+        assert loaded.dimensions.is_montage and loaded.dimensions.is_timelapse
+        cm = loaded.metadata.instrument.channel_metadata_list[0]
+        # stage position constant within each tile's time series (outer loop)
+        xs = np.asarray(cm.measured.x_values_um)
+        np.testing.assert_allclose(xs, [-128.0] * 3 + [128.0] * 3)
+        np.testing.assert_array_equal(np.asarray(loaded.intensities), stack[:, :, 0])
