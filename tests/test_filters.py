@@ -1,0 +1,145 @@
+"""Parity tests for the separable-filter and morphology kernels.
+
+These ops feed the BASELINE config-2 benchmark and the classical plate
+frontend; until now they were only exercised indirectly (through pipelines
+and the plate runner). Ground truth is scipy.ndimage, the same backend the
+reference's scikit-image calls bottom out in.
+"""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+import jax.numpy as jnp
+
+from arcadia_microscopy_tools_tpu.ops.filters import (
+    gaussian_filter,
+    grey_dilation,
+    grey_erosion,
+    median_filter,
+    subtract_background_rolling_ball,
+)
+from arcadia_microscopy_tools_tpu.ops.fused import fused_classical_mask
+from arcadia_microscopy_tools_tpu.ops.morphology import (
+    binary_closing,
+    binary_opening,
+    disk,
+)
+
+
+@pytest.fixture
+def image(rng):
+    base = ndi.gaussian_filter(rng.random((96, 128)) * 200, 2.0)
+    return base.astype(np.float32)
+
+
+class TestGaussian:
+    @pytest.mark.parametrize("mode", ["nearest", "reflect", "mirror"])
+    @pytest.mark.parametrize("sigma", [0.8, 2.0, 5.0])
+    def test_matches_scipy(self, image, sigma, mode):
+        ours = np.asarray(gaussian_filter(jnp.asarray(image), sigma, mode=mode))
+        ref = ndi.gaussian_filter(
+            image.astype(np.float64), sigma, mode=mode, truncate=4.0
+        )
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-3)
+
+    def test_sigma_zero_identity(self, image):
+        out = np.asarray(gaussian_filter(jnp.asarray(image), 0.0))
+        np.testing.assert_array_equal(out, image)
+
+
+class TestMedian:
+    @pytest.mark.parametrize("size", [3, 5])
+    def test_matches_scipy(self, image, size):
+        ours = np.asarray(median_filter(jnp.asarray(image), size))
+        ref = ndi.median_filter(image, size=size, mode="reflect")
+        # interior must be exact; borders may differ by pad convention
+        r = size // 2
+        np.testing.assert_allclose(ours[r:-r, r:-r], ref[r:-r, r:-r], atol=1e-5)
+
+
+class TestGreyMorphology:
+    def test_erosion_dilation_match_scipy(self, image):
+        fp = np.ones((3, 3), bool)
+        er = np.asarray(grey_erosion(jnp.asarray(image), 3))
+        di = np.asarray(grey_dilation(jnp.asarray(image), 3))
+        ref_er = ndi.grey_erosion(image, footprint=fp, mode="reflect")
+        ref_di = ndi.grey_dilation(image, footprint=fp, mode="reflect")
+        np.testing.assert_allclose(er[1:-1, 1:-1], ref_er[1:-1, 1:-1], atol=1e-5)
+        np.testing.assert_allclose(di[1:-1, 1:-1], ref_di[1:-1, 1:-1], atol=1e-5)
+
+
+class TestBinaryMorphology:
+    def test_opening_matches_scipy(self, rng):
+        mask = rng.random((80, 80)) > 0.6
+        fp = disk(2)
+        ours = np.asarray(binary_opening(jnp.asarray(mask), fp))
+        ref = ndi.binary_opening(mask, structure=fp)
+        interior = (slice(2, -2), slice(2, -2))
+        np.testing.assert_array_equal(ours[interior], ref[interior])
+
+    def test_closing_matches_scipy(self, rng):
+        mask = rng.random((80, 80)) > 0.4
+        fp = disk(1)
+        ours = np.asarray(binary_closing(jnp.asarray(mask), fp))
+        ref = ndi.binary_closing(mask, structure=fp)
+        interior = (slice(1, -1), slice(1, -1))
+        np.testing.assert_array_equal(ours[interior], ref[interior])
+
+    def test_opening_removes_specks_keeps_blobs(self):
+        mask = np.zeros((64, 64), bool)
+        mask[10, 10] = True  # single-pixel speck
+        mask[30:40, 30:40] = True  # solid blob
+        out = np.asarray(binary_opening(jnp.asarray(mask), disk(1)))
+        assert not out[10, 10]
+        assert out[34, 34]
+
+
+class TestRollingBall:
+    def test_flat_background_removed(self, rng):
+        img = np.full((64, 64), 500.0, np.float32)
+        out = np.asarray(subtract_background_rolling_ball(jnp.asarray(img), radius=10))
+        np.testing.assert_allclose(out, 0.0, atol=1e-3)
+
+    def test_peaks_survive_ramp_background(self):
+        yy, xx = np.mgrid[0:96, 0:96].astype(np.float32)
+        ramp = 0.5 * xx  # slow background
+        img = ramp.copy()
+        img[40:44, 40:44] += 300.0  # small bright feature
+        out = np.asarray(subtract_background_rolling_ball(jnp.asarray(img), radius=12))
+        # the feature stands far above the residual background
+        assert out[41, 41] > 200.0
+        assert np.median(np.abs(out[ramp > 0])) < 30.0
+
+
+class TestFusedClassicalMask:
+    def test_matches_unfused_pipeline(self, rng):
+        """The single-histogram fused frontend must reproduce the three-stage
+        DoG -> percentile rescale -> Otsu composition."""
+        from arcadia_microscopy_tools_tpu.ops.basic import (
+            rescale_by_percentile,
+            subtract_background_dog,
+        )
+        from arcadia_microscopy_tools_tpu.ops.threshold import threshold_otsu
+
+        base = ndi.gaussian_filter(rng.random((128, 128)), 4) * 2000
+        for _ in range(6):
+            cy, cx = rng.integers(20, 108, 2)
+            yy, xx = np.mgrid[0:128, 0:128]
+            base += 3000 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 30.0)
+        img = base.astype(np.uint16)
+
+        fused = np.asarray(
+            fused_classical_mask(
+                jnp.asarray(img), low_sigma=1.0, high_sigma=16.0,
+                percentile_range=(0.5, 99.9), method="otsu",
+            )
+        )
+
+        x = subtract_background_dog(jnp.asarray(img), 1.0, 16.0)
+        x = rescale_by_percentile(x, (0.5, 99.9))
+        q = (x * 65535.0).astype(jnp.uint16)
+        staged = np.asarray(q.astype(jnp.float32) > threshold_otsu(q))
+
+        agreement = (fused == staged).mean()
+        assert agreement > 0.999, f"fused vs staged agreement {agreement}"
