@@ -238,23 +238,32 @@ def masks_to_flows(
     seg = jnp.clip(lbl.ravel(), 0, max_cells)
     fg = lbl > 0
 
-    # center pixel per label = pixel closest to the centroid
+    # center pixel per label = pixel closest to the centroid. Per-label
+    # reductions run on the MXU segment kernels (jax.ops.segment_sum lowers
+    # to scatter-add, which serializes on TPU; the .at[].min scatters were
+    # the same story).
+    from ..ops.segment_reduce import segment_minmax_blockwise, segment_sums_matmul
+
     yy, xx = jnp.mgrid[0:h, 0:w]
     yf = yy.ravel().astype(jnp.float32)
     xf = xx.ravel().astype(jnp.float32)
     ones = jnp.ones_like(yf)
-    area = jax.ops.segment_sum(ones, seg, nseg)
-    cy = jax.ops.segment_sum(yf, seg, nseg) / jnp.maximum(area, 1.0)
-    cx = jax.ops.segment_sum(xf, seg, nseg) / jnp.maximum(area, 1.0)
+    sums = segment_sums_matmul(jnp.stack([ones, yf, xf]), seg, nseg)
+    area = sums[0]
+    cy = sums[1] / jnp.maximum(area, 1.0)
+    cx = sums[2] / jnp.maximum(area, 1.0)
     d2 = (yf - cy[seg]) ** 2 + (xf - cx[seg]) ** 2
     d2 = jnp.where(seg > 0, d2, jnp.inf)
     # per-label argmin in two passes: min distance, then min index among ties
-    dmin = jnp.full((nseg,), jnp.inf, dtype=jnp.float32).at[seg].min(d2)
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    d2_f = jnp.where(jnp.isfinite(d2), d2, big)
+    dmin = segment_minmax_blockwise(d2_f[None], seg, nseg, compute_max=False)[0][0]
     idx = jnp.arange(h * w, dtype=jnp.float32)  # exact up to 2^24 pixels
-    candidate = (d2 == dmin[seg]) & (seg > 0)
-    center_of = (
-        jnp.full((nseg,), jnp.float32(h * w)).at[seg].min(jnp.where(candidate, idx, h * w))
-    )
+    candidate = (d2_f == dmin[seg]) & (seg > 0)
+    center_of = segment_minmax_blockwise(
+        jnp.where(candidate, idx, jnp.float32(h * w))[None], seg, nseg,
+        compute_max=False,
+    )[0][0]
     is_center = candidate & (idx == center_of[seg])
     source = is_center.reshape(h, w).astype(jnp.float32)
 
@@ -300,14 +309,15 @@ def flow_error(
 ) -> jax.Array:
     """Per-mask mean squared error between predicted flows and the flows the
     mask itself implies (Cellpose's QC criterion). Returns (max_cells,)."""
+    from ..ops.segment_reduce import segment_sums_matmul
+
     computed, _ = masks_to_flows(labels, max_cells)
     lbl = jnp.asarray(labels).astype(jnp.int32)
     nseg = max_cells + 1
     seg = jnp.clip(lbl.ravel(), 0, max_cells)
     se = jnp.sum((predicted_flows - computed) ** 2, axis=-1).ravel()
-    total = jax.ops.segment_sum(se, seg, nseg)
-    count = jax.ops.segment_sum(jnp.ones_like(se), seg, nseg)
-    err = total / jnp.maximum(count, 1.0)
+    sums = segment_sums_matmul(jnp.stack([se, jnp.ones_like(se)]), seg, nseg)
+    err = sums[0] / jnp.maximum(sums[1], 1.0)
     return err[1:]
 
 
