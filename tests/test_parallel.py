@@ -265,3 +265,42 @@ class TestPlateRunner:
         results = runner.run(layout, wells)
         assert set(results.tables) == set(layout.well_ids)
         assert not results.failed_wells
+
+
+class TestUnetPlatePath:
+    def test_unet_method_end_to_end(self, rng):
+        """PlateRunner(method='unet') runs the full deep path (forward ->
+        flow tracking -> QC -> measurement) through the sharded program and
+        yields per-cell tables on cells the trained checkpoint can see."""
+        import pathlib
+
+        from arcadia_microscopy_tools_tpu.models.synthetic import synthesize_cells
+        from arcadia_microscopy_tools_tpu.models.weights import load_checkpoint
+
+        ckpt = pathlib.Path(__file__).parents[1] / "checkpoints" / "unet"
+        if not ckpt.exists():
+            pytest.skip("trained checkpoint not present")
+        params = load_checkpoint(ckpt)
+
+        wells = {}
+        for well_id in ("A01", "A02"):
+            img, _ = synthesize_cells(rng, (256, 256), n_cells=10, separation=0.95)
+            u16 = (img * 60000).astype(np.uint16)
+            wells[well_id] = np.stack([u16, u16])
+        layout = MicroplateLayout([Well(id=w) for w in wells])
+
+        runner = PlateRunner(
+            PlateRunConfig(
+                method="unet", max_cells=64, min_size=15,
+                niter=100, flow_threshold=0.4,
+            ),
+            unet_params=params,
+        )
+        results = runner.run(layout, wells)
+        assert not results.failed_wells
+        for w in wells:
+            table = results.tables[w]
+            assert table is not None and len(table) >= 5
+            assert "intensity_mean_ch0" in table.columns or any(
+                c.startswith("intensity_mean") for c in table.columns
+            )
