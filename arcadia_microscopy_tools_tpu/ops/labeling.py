@@ -48,6 +48,7 @@ __all__ = [
     "label",
     "component_roots",
     "relabel_sequential",
+    "relabel_sequential_filtered",
     "clear_border",
     "num_labels",
     "compact_labels",
@@ -60,9 +61,15 @@ _USE_PALLAS_LOCAL = os.environ.get("AMT_PALLAS_CC", "1") != "0"
 
 
 def use_pallas_local(enabled: bool) -> None:
-    """Toggle the Pallas block-local CC kernel (module-wide)."""
+    """Toggle the Pallas block-local CC kernel (module-wide).
+
+    The flag is read at trace time, so already-compiled executables would
+    keep their original path; compilation caches are cleared so the next
+    call re-traces under the new setting.
+    """
     global _USE_PALLAS_LOCAL
     _USE_PALLAS_LOCAL = enabled
+    jax.clear_caches()
 
 _NEIGHBORS_8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
 _NEIGHBORS_4 = [(-1, 0), (0, -1), (0, 1), (1, 0)]
@@ -72,7 +79,12 @@ _BLOCK = 64
 # in-block geodesic (a few dozen sweeps for cells); the generous cap only
 # matters for pathological in-block snakes.
 _LOCAL_ITERS = 192
-_MERGE_ITERS = 10  # >= union-chain depth of any component (+ margin)
+# Merge-loop cap: the union-find propagates minima ONE boundary-graph hop
+# per iteration, so convergence needs ~the component's block-graph diameter.
+# 32 covers a component spanning every block of a 4096px axis at block 128;
+# the early-exit makes typical cost ~3 iterations regardless. The
+# convergence certificate still catches anything beyond the cap.
+_MERGE_ITERS = 32
 _LOCAL_CHECK_EVERY = 8  # convergence-check cadence inside the local phase
 
 
@@ -572,18 +584,35 @@ def clear_border(label_image: jax.Array) -> jax.Array:
     if lbl.dtype == bool:
         raise TypeError("clear_border expects an integer label image; call label() first")
     lbl = lbl.astype(jnp.int32)
-    n = lbl.size
     border_vals = jnp.concatenate([lbl[0, :], lbl[-1, :], lbl[:, 0], lbl[:, -1]])
-    cap = n + 1
-    on_border = jnp.zeros(cap + 1, dtype=bool)
-    on_border = on_border.at[jnp.minimum(border_vals, cap)].set(True)
-    keep = ~on_border[jnp.minimum(lbl, cap)]
-    return jnp.where(keep, lbl, 0)
+    # Membership via a sort-merge join rather than a value-indexed table:
+    # label values can exceed the pixel count (tracking ids), and clipping
+    # them into one table slot would alias distinct large-id regions.
+    m = border_vals.shape[0]
+    flat = lbl.ravel()
+    nq = flat.shape[0]
+    v = jnp.concatenate([border_vals, flat])
+    tie = jnp.concatenate([jnp.zeros((m,), jnp.int32), jnp.ones((nq,), jnp.int32)])
+    pos = jnp.concatenate(
+        [nq + jnp.arange(m, dtype=jnp.int32), jnp.arange(nq, dtype=jnp.int32)]
+    )
+    sv, st, sp = lax.sort((v, tie, pos), num_keys=2)
+    is_border_row = st == 0
+    iota = jnp.arange(m + nq, dtype=jnp.int32)
+    last_border = lax.cummax(jnp.where(is_border_row, iota, -1))
+    safe = jnp.maximum(last_border, 0)
+    hit = (last_border >= 0) & (sv[safe] == sv)
+    # un-merge by original position; border rows land past the tail
+    _, hit_by_pos = lax.sort((sp, hit.astype(jnp.int32)), num_keys=1)
+    on_border = hit_by_pos[:nq].astype(bool).reshape(lbl.shape)
+    return jnp.where(on_border & (lbl > 0), 0, lbl)
 
 
 @jax.jit
 def num_labels(label_image: jax.Array) -> jax.Array:
-    """Number of distinct positive labels (device scalar)."""
+    """Maximum label value (device scalar) - equals the number of cells for
+    consecutively-relabeled images (label / relabel_sequential output); a
+    sparse label set (e.g. after clear_border) counts its gaps."""
     return jnp.max(jnp.asarray(label_image))
 
 

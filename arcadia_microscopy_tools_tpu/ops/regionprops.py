@@ -44,6 +44,7 @@ from .segment_reduce import (
     segment_central_moments,
     segment_minmax_blockwise,
     segment_sums_matmul,
+    segment_variances,
 )
 
 
@@ -143,7 +144,8 @@ def measure_labels(label_image: jax.Array, max_cells: int) -> dict[str, jax.Arra
         label_image: 2D int label image with consecutive labels (background 0).
         max_cells: Static upper bound on the number of cells; measurements for
             label k land at index k-1. Labels above max_cells are clipped into
-            the last slot (choose max_cells generously; `valid` masks overflow).
+            the last slot, whose `valid` entry is then False (its stats would
+            merge unrelated cells) - choose max_cells generously.
 
     Returns:
         Dict of (max_cells,) arrays: area, centroid_y/x, perimeter,
@@ -172,31 +174,14 @@ def measure_labels(label_image: jax.Array, max_cells: int) -> dict[str, jax.Arra
     # frames (raw y^2 sums would round at f32 granularity). The centroid
     # lookup happens inside the matmul scan (onehot @ centroids) instead of
     # a 4M-element gather.
-    s_yy, s_xx, s_xy, extras, bbox_mm = segment_central_moments(
+    s_yy, s_xx, s_xy, extras, bbox_mm, _ = segment_central_moments(
         yf, xf, perim_w[None], seg, cy, cx, nseg,
         minmax_vals=jnp.stack([yf, xf]),
     )
-    mu20 = s_yy / n  # spread along rows
-    mu02 = s_xx / n  # spread along cols
-    mu11 = s_xy / n
     perimeter = extras[0]
 
-    common = jnp.sqrt(jnp.maximum(4.0 * mu11 * mu11 + (mu20 - mu02) ** 2, 0.0))
-    lam1 = (mu20 + mu02 + common) / 2.0  # largest eigenvalue
-    lam2 = (mu20 + mu02 - common) / 2.0
-    lam2 = jnp.maximum(lam2, 0.0)
-    axis_major = 4.0 * jnp.sqrt(jnp.maximum(lam1, 0.0))
-    axis_minor = 4.0 * jnp.sqrt(lam2)
-    eccentricity = jnp.where(
-        lam1 > 0, jnp.sqrt(jnp.maximum(1.0 - lam2 / jnp.maximum(lam1, 1e-30), 0.0)), 0.0
-    )
-
-    # orientation per skimage: inertia_tensor = [[mu02, -mu11], [-mu11, mu20]]
-    a, b, c = mu02, -mu11, mu20
-    orientation = jnp.where(
-        a - c == 0,
-        jnp.where(b < 0, -jnp.pi / 4.0, jnp.pi / 4.0),
-        0.5 * jnp.arctan2(-2.0 * b, c - a),
+    eccentricity, axis_major, axis_minor, orientation = _shape_props(
+        n, s_yy, s_xx, s_xy
     )
 
     # bbox min/max rode the central-moments scan (shared one-hot)
@@ -209,7 +194,13 @@ def measure_labels(label_image: jax.Array, max_cells: int) -> dict[str, jax.Arra
     bbox_area = jnp.maximum((maxr - minr) * (maxc - minc), 1).astype(jnp.float32)
     extent = area / bbox_area
 
-    valid = area > 0
+    # the clipped slot absorbs every label above max_cells; mark it invalid
+    # when that happened rather than exposing merged stats as a real cell
+    overflowed = jnp.max(lbl) > max_cells
+    valid = (area > 0) & ~(
+        overflowed
+        & (jnp.arange(nseg) == max_cells)
+    )
 
     def cell(xs):
         return xs[1:]  # drop background slot
@@ -316,19 +307,19 @@ def measure_compacted(
     yv = jnp.where(valid_px, yf, 0.0)
     xv = jnp.where(valid_px, xf, 0.0)
 
-    # pass 1: zeroth/first moments + per-channel sums and squared sums in ONE
-    # MXU scan (intensities scaled so the bf16 hi/lo split stays f32-exact)
-    scale = jnp.float32(1.0 / 256.0)
+    # pass 1: zeroth/first moments + per-channel sums in ONE MXU scan
+    # (variances come from the centered pass 2 - raw squared sums cannot
+    # produce an accurate uint16-scale variance, see segment_variances)
     quantities = jnp.concatenate(
-        [jnp.stack([ones, yv, xv]), chans * scale, (chans * scale) ** 2], axis=0
-    )  # (3 + 2C, cap)
+        [jnp.stack([ones, yv, xv]), chans], axis=0
+    )  # (3 + C, cap)
     sums = segment_sums_matmul(quantities, seg_ids, nseg)
     area, sum_y, sum_x = sums[0], sums[1], sums[2]
-    s1 = sums[3 : 3 + c] / scale
-    s2 = sums[3 + c :] / (scale * scale)
+    s1 = sums[3 : 3 + c]
     nn = jnp.maximum(area, 1.0)
     cy = sum_y / nn
     cx = sum_x / nn
+    chan_mean = s1 / nn  # (C, S)
 
     # segment-contiguous ordering: first/last slot of each segment carries its
     # min/max row (roots sort ties by linear index = row-major scan order)
@@ -345,8 +336,9 @@ def measure_compacted(
     # fusing it here removes one full traversal of the compact set. Padding
     # slots carry segment 0 (values zeroed above), whose column is dropped.
     mm_vals = jnp.concatenate([xv[None], chans], axis=0)  # (1 + C, cap)
-    s_yy, s_xx, s_xy, extra_sums, mm = segment_central_moments(
-        yv, xv, extras, seg_ids, cy, cx, nseg, minmax_vals=mm_vals
+    s_yy, s_xx, s_xy, extra_sums, mm, var_sums = segment_central_moments(
+        yv, xv, extras, seg_ids, cy, cx, nseg, minmax_vals=mm_vals,
+        value_channels=chans, channel_means=chan_mean,
     )
     perimeter = extra_sums[0]
     minr = jnp.where(area > 0, extra_sums[1] - 1.0, 0.0)
@@ -384,8 +376,8 @@ def measure_compacted(
     }
 
     count = jnp.maximum(area, 1.0)
-    mean = s1 / count
-    var = jnp.maximum(s2 / count - mean * mean, 0.0)
+    mean = chan_mean
+    var = jnp.maximum(var_sums / count, 0.0)
     vmin = jnp.where(area > 0, mins[1:], jnp.inf)
     vmax = jnp.where(area > 0, maxs[1:], -jnp.inf)
     intensity = {
@@ -416,16 +408,15 @@ def measure_intensity(
     vals = img.ravel()
 
     ones = jnp.ones_like(vals)
-    # uint16 intensities square up to ~2^32: scale down so the hi/lo bf16
-    # split keeps the matmul sums f32-exact, then scale back
-    scale = jnp.float32(1.0 / 256.0)
-    sums = segment_sums_matmul(
-        jnp.stack([ones, vals * scale, (vals * scale) ** 2]), seg, nseg
-    )
-    count, s1, s2 = sums[0], sums[1] / scale, sums[2] / (scale * scale)
+    sums = segment_sums_matmul(jnp.stack([ones, vals]), seg, nseg)
+    count, s1 = sums[0], sums[1]
     n = jnp.maximum(count, 1.0)
     mean = s1 / n
-    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    # variance from centered deviations (raw sum-of-squares loses ~16 bits
+    # through the bf16 split and the E[x^2]-E[x]^2 cancellation; see
+    # segment_variances)
+    ss = segment_variances(vals[None], seg, mean[None], nseg)[0]
+    var = jnp.maximum(ss / n, 0.0)
 
     mins, maxs = segment_minmax_blockwise(vals[None], seg, nseg)
     vmin = jnp.where(count > 0, mins[0], jnp.inf)
@@ -459,18 +450,15 @@ def measure_intensity_stack(
     seg = jnp.clip(lbl.ravel(), 0, max_cells)
     vals = stack.reshape(c, -1)
 
-    scale = jnp.float32(1.0 / 256.0)
     ones = jnp.ones((vals.shape[1],), jnp.float32)
-    quantities = jnp.concatenate(
-        [ones[None], vals * scale, (vals * scale) ** 2], axis=0
-    )  # (1 + 2C, N)
+    quantities = jnp.concatenate([ones[None], vals], axis=0)  # (1 + C, N)
     sums = segment_sums_matmul(quantities, seg, nseg)
     count = sums[0]
     n = jnp.maximum(count, 1.0)
-    s1 = sums[1 : 1 + c] / scale  # (C, S)
-    s2 = sums[1 + c :] / (scale * scale)
-    mean = s1 / n
-    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    mean = sums[1:] / n  # (C, S)
+    # centered second pass (see segment_variances for why raw v^2 cannot work)
+    ss = segment_variances(vals, seg, mean, nseg)
+    var = jnp.maximum(ss / n, 0.0)
 
     mins, maxs = segment_minmax_blockwise(vals, seg, nseg)
     vmin = jnp.where(count > 0, mins, jnp.inf)

@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["segment_sums_matmul", "segment_minmax_blockwise"]
+__all__ = [
+    "segment_sums_matmul",
+    "segment_minmax_blockwise",
+    "segment_central_moments",
+    "segment_variances",
+]
 
 
 def _split_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -180,7 +185,12 @@ def segment_central_moments(
     num_segments: int,
     block: int = 8192,
     minmax_vals: jax.Array | None = None,  # (M, N) quantities for min/max
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, tuple[jax.Array, jax.Array] | None]:
+    value_channels: jax.Array | None = None,  # (C, N) values to variance-sum
+    channel_means: jax.Array | None = None,  # (C, S) per-segment means
+) -> tuple[
+    jax.Array, jax.Array, jax.Array, jax.Array,
+    tuple[jax.Array, jax.Array] | None, jax.Array | None,
+]:
     """Segment sums of centered second moments (dy^2, dx^2, dy*dx) plus extra
     quantities, with NO per-pixel gathers - and, optionally, segment min/max
     of `minmax_vals` fused into the SAME blockwise scan.
@@ -191,10 +201,15 @@ def segment_central_moments(
     on the MXU. Fusing the min/max quantities reuses the per-block one-hot
     membership (its construction is the dominant cost of a standalone
     `segment_minmax_blockwise` pass); padding slots must carry segment id 0
-    (their extrema land in the dropped background column).
+    (their extrema land in the dropped background column). `value_channels`
+    with `channel_means` additionally accumulates centered squared-deviation
+    sums per channel in the SAME scan (see `segment_variances` for why raw
+    sums of squares cannot produce an accurate variance); the final tuple
+    element carries those (C, S) sums, or None.
     """
     e, n = extra.shape
     m = 0 if minmax_vals is None else minmax_vals.shape[0]
+    c = 0 if value_channels is None else value_channels.shape[0]
     pad = (-n) % block
     if pad:
         yf = jnp.pad(yf, (0, pad))
@@ -203,6 +218,8 @@ def segment_central_moments(
         segment_ids = jnp.pad(segment_ids, (0, pad))
         if m:
             minmax_vals = jnp.pad(minmax_vals, ((0, 0), (0, pad)))
+        if c:
+            value_channels = jnp.pad(value_channels, ((0, 0), (0, pad)))
     k = (n + pad) // block
 
     yb = yf.reshape(k, block)
@@ -214,15 +231,21 @@ def segment_central_moments(
         if m
         else jnp.zeros((k, 0, block), jnp.float32)
     )
+    vb = (
+        value_channels.reshape(c, k, block).transpose(1, 0, 2)
+        if c
+        else jnp.zeros((k, 0, block), jnp.float32)
+    )
     seg_iota = jax.lax.broadcasted_iota(jnp.int32, (block, num_segments), 1)
 
     cy_parts = _split3_bf16(cy)
     cx_parts = _split3_bf16(cx)
+    mean_parts = [_split3_bf16(channel_means[ci]) for ci in range(c)]
     big = jnp.float32(jnp.finfo(jnp.float32).max)
 
     def body(carry, inp):
         sums_c, min_c, max_c = carry
-        y, x, ex, mv, labels = inp
+        y, x, ex, mv, vc, labels = inp
         member = labels[:, None] == seg_iota  # (B, S) bool
         onehot = member.astype(jnp.bfloat16)
 
@@ -239,9 +262,11 @@ def segment_central_moments(
 
         dy = y - lookup(cy_parts)
         dx = x - lookup(cx_parts)
-        quantities = jnp.concatenate(
-            [jnp.stack([dy * dy, dx * dx, dy * dx]), ex], axis=0
-        )  # (3+E, B)
+        rows = [jnp.stack([dy * dy, dx * dx, dy * dx]), ex]
+        if c:
+            dev = jnp.stack([vc[ci] - lookup(mean_parts[ci]) for ci in range(c)])
+            rows.append(dev * dev)
+        quantities = jnp.concatenate(rows, axis=0)  # (3+E+C, B)
         hi = quantities.astype(jnp.bfloat16).astype(jnp.float32)
         lo = quantities - hi
         qmat = jnp.concatenate([hi, lo], axis=0).astype(jnp.bfloat16)
@@ -250,7 +275,7 @@ def segment_central_moments(
             onehot,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (2*(3+E), S)
+        )  # (2*(3+E+C), S)
 
         for qi in range(m):
             v = mv[qi][:, None]
@@ -262,12 +287,79 @@ def segment_central_moments(
             )
         return (sums_c + sums, min_c, max_c), None
 
+    rows_total = 3 + e + c
     init = (
-        jnp.zeros((2 * (3 + e), num_segments), jnp.float32),
+        jnp.zeros((2 * rows_total, num_segments), jnp.float32),
         jnp.full((m, num_segments), big, jnp.float32),
         jnp.full((m, num_segments), -big, jnp.float32),
     )
-    (total, mins, maxs), _ = lax.scan(body, init, (yb, xb, eb, mb, seg))
-    total = total[: 3 + e] + total[3 + e :]
+    (total, mins, maxs), _ = lax.scan(body, init, (yb, xb, eb, mb, vb, seg))
+    total = total[:rows_total] + total[rows_total:]
     minmax = (mins, maxs) if m else None
-    return total[0], total[1], total[2], total[3:], minmax
+    var_sums = total[3 + e :] if c else None
+    return total[0], total[1], total[2], total[3 : 3 + e], minmax, var_sums
+
+
+@partial(jax.jit, static_argnames=("num_segments", "block"))
+def segment_variances(
+    values: jax.Array,  # (C, N) float32
+    segment_ids: jax.Array,  # (N,) int32
+    means: jax.Array,  # (C, S) per-segment means
+    num_segments: int,
+    block: int = 8192,
+) -> jax.Array:
+    """Segment sums of squared deviations sum((v - mean_seg)^2), gather-free.
+
+    Summing raw v^2 cannot give an accurate variance for uint16-scale
+    intensities: v^2 needs up to 32 mantissa bits, the bf16 hi/lo split
+    keeps ~16, and the E[x^2] - E[x]^2 cancellation amplifies whatever
+    rounding survives (a uniform region at 50000 counts would read a
+    standard deviation of ~100 instead of 0). Centering first bounds the
+    summand by the region's actual spread: the per-pixel mean arrives
+    through an in-scan onehot @ means lookup (3-way bf16 split, ~24
+    mantissa bits), the deviations are hi/lo split, and the squared sums
+    accumulate in f32. Returns (C, S) float32.
+    """
+    c, n = values.shape
+    pad = (-n) % block
+    if pad:
+        values = jnp.pad(values, ((0, 0), (0, pad)))
+        segment_ids = jnp.pad(segment_ids, (0, pad))
+    k = (n + pad) // block
+
+    vb = values.reshape(c, k, block).transpose(1, 0, 2)  # (K, C, B)
+    seg = segment_ids.reshape(k, block)
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (block, num_segments), 1)
+    mean_parts = [_split3_bf16(means[ci]) for ci in range(c)]
+
+    def body(carry, inp):
+        vals, labels = inp  # (C, B), (B,)
+        onehot = (labels[:, None] == seg_iota).astype(jnp.bfloat16)  # (B, S)
+
+        def lookup(parts):
+            acc = jnp.zeros((block,), jnp.float32)
+            for prt in parts:
+                acc = acc + jax.lax.dot_general(
+                    onehot,
+                    prt.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return acc
+
+        dev = jnp.stack([vals[ci] - lookup(mean_parts[ci]) for ci in range(c)])
+        dsq = dev * dev  # (C, B)
+        hi = dsq.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = dsq - hi
+        qmat = jnp.concatenate([hi, lo], axis=0).astype(jnp.bfloat16)
+        sums = jax.lax.dot_general(
+            qmat,
+            onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2C, S)
+        return carry + sums, None
+
+    init = jnp.zeros((2 * c, num_segments), jnp.float32)
+    total, _ = lax.scan(body, init, (vb, seg))
+    return total[:c] + total[c:]

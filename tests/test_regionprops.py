@@ -141,3 +141,50 @@ class TestIntensityProps:
             assert np.asarray(props["intensity_std"])[k - 1] == pytest.approx(
                 vals.std(), rel=1e-4
             )
+
+
+class TestIntensityStdPrecision:
+    """Uniform regions at uint16-scale intensities must read std ~= 0.
+
+    Raw sum-of-squares accumulation loses ~16 bits through the bf16 split
+    and the E[x^2] - E[x]^2 cancellation then amplifies the rounding into a
+    phantom standard deviation of ~100 counts; the centered second pass
+    keeps it at numerical zero.
+    """
+
+    def test_uniform_bright_region_zero_std(self):
+        lbl = np.zeros((64, 64), np.int32)
+        lbl[8:40, 8:40] = 1
+        img = np.where(lbl > 0, 50000, 120).astype(np.uint16)
+        stats = measure_intensity(lbl, img, max_cells=4)
+        assert float(stats["intensity_mean"][0]) == 50000.0
+        assert float(stats["intensity_std"][0]) < 1.0
+
+    def test_uniform_bright_region_compacted_path(self):
+        import jax.numpy as jnp
+
+        from arcadia_microscopy_tools_tpu.ops.compaction import compact_by_root
+        from arcadia_microscopy_tools_tpu.ops.labeling import component_roots
+        from arcadia_microscopy_tools_tpu.ops.regionprops import measure_compacted
+
+        mask = np.zeros((128, 128), bool)
+        mask[16:80, 16:80] = True
+        roots, _ = component_roots(jnp.asarray(mask))
+        comp = compact_by_root(roots, 8192)
+        stack = np.where(mask, 60000, 50)[None].astype(np.uint16)
+        props, intensity = measure_compacted(
+            comp.seg, comp.idx, roots, jnp.asarray(stack), 16, 128
+        )
+        assert float(np.asarray(intensity[0]["intensity_mean"])[0]) == 60000.0
+        assert float(np.asarray(intensity[0]["intensity_std"])[0]) < 1.0
+
+    def test_true_std_still_correct(self, rng=np.random.default_rng(5)):
+        lbl = np.zeros((64, 64), np.int32)
+        lbl[4:60, 4:60] = 1
+        noise = rng.normal(30000, 500, (64, 64))
+        img = np.clip(noise, 0, 65535).astype(np.uint16)
+        stats = measure_intensity(lbl, img, max_cells=4)
+        region = img[lbl > 0].astype(np.float64)
+        np.testing.assert_allclose(
+            float(stats["intensity_std"][0]), region.std(), rtol=2e-3
+        )
