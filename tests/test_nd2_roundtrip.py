@@ -194,3 +194,55 @@ class TestRGB:
         xs = np.asarray(cm.measured.x_values_um)
         np.testing.assert_allclose(xs, [-128.0] * 3 + [128.0] * 3)
         np.testing.assert_array_equal(np.asarray(loaded.intensities), stack[:, :, 0])
+
+
+class TestCorruptFiles:
+    def test_not_an_nd2(self, tmp_path):
+        from arcadia_microscopy_tools_tpu.io.nd2 import ND2ParseError
+
+        p = tmp_path / "bogus.nd2"
+        p.write_bytes(b"this is not a microscopy file" * 10)
+        with pytest.raises(ND2ParseError):
+            ND2File(p)
+
+    def test_truncated_container(self, rng, tmp_path):
+        from arcadia_microscopy_tools_tpu.io.nd2 import ND2ParseError
+
+        frame = (rng.random((1, 32, 32)) * 100).astype(np.uint16)
+        p = write_nd2(tmp_path / "whole.nd2", frame, channel_names=["DAPI"])
+        data = p.read_bytes()
+        trunc = tmp_path / "trunc.nd2"
+        trunc.write_bytes(data[: len(data) // 2])
+        with pytest.raises((ND2ParseError, ValueError, KeyError, Exception)):
+            with ND2File(trunc) as f:
+                f.asarray()
+
+    def test_plate_runner_isolates_corrupt_well(self, rng, tmp_path):
+        """A corrupt file fails its well with a warning; the run continues."""
+        import warnings as _w
+
+        from arcadia_microscopy_tools_tpu.core.microplate import MicroplateLayout, Well
+        from arcadia_microscopy_tools_tpu.exceptions import SegmentationWarning
+        from arcadia_microscopy_tools_tpu.io.nikon import load_nd2
+        from arcadia_microscopy_tools_tpu.parallel.plate import (
+            PlateRunConfig,
+            PlateRunner,
+        )
+
+        good = (rng.random((1, 64, 64)) * 3000).astype(np.uint16)
+        good[0, 20:40, 20:40] = 60000
+        write_nd2(tmp_path / "A01.nd2", good, channel_names=["DAPI"])
+        (tmp_path / "A02.nd2").write_bytes(b"garbage")
+
+        def source(well_id):
+            pixels, _ = load_nd2(tmp_path / f"{well_id}.nd2")
+            return pixels
+
+        layout = MicroplateLayout([Well(id="A01"), Well(id="A02")])
+        runner = PlateRunner(PlateRunConfig(max_cells=16, min_size=5))
+        with _w.catch_warnings():
+            _w.simplefilter("always")
+            with pytest.warns(SegmentationWarning, match="A02"):
+                results = runner.run(layout, source)
+        assert results.failed_wells == ["A02"]
+        assert results.tables["A01"] is not None and len(results.tables["A01"]) >= 1
