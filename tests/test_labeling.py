@@ -135,3 +135,34 @@ class TestRelabelSequential:
         assert out[41, 41] == 3
         assert out.max() == 3
         assert (out[lbl == 0] == 0).all()
+
+
+class TestLongComponents:
+    def test_full_width_line_unchecked(self):
+        """A structure spanning many CC blocks converges within the merge
+        cap even with checked=False (the 1-hop-per-iteration merge needs
+        ~the component's block-graph diameter; regression for the old
+        10-iteration cap)."""
+        h = w = 1024
+        mask = np.zeros((h, w), bool)
+        mask[100, :] = True  # spans every block column
+        lbl = np.asarray(label(mask, checked=False))
+        assert lbl.max() == 1
+        assert (lbl[100, :] == 1).all()
+
+    def test_serpentine_matches_scipy_unchecked(self):
+        """A connected snake threading up and down across block rows: one
+        component, found without the checked fixpoint pass."""
+        from scipy import ndimage as ndi
+
+        h = w = 512
+        mask = np.zeros((h, w), bool)
+        for k, col in enumerate(range(8, w - 8, 16)):
+            mask[8 : h - 8, col] = True  # vertical stroke
+            # connector joining this stroke to the next, alternating ends
+            row = h - 9 if k % 2 == 0 else 8
+            mask[row, col : min(col + 17, w)] = True
+        _, n_ref = ndi.label(mask, structure=np.ones((3, 3)))
+        assert n_ref == 1  # geometry sanity: it really is one snake
+        lbl = np.asarray(label(mask, checked=False))
+        assert lbl.max() == 1
