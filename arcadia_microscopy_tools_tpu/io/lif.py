@@ -164,6 +164,14 @@ class LifImage:
 
         shape = tuple(n for _, _, n in axes)
         strides = tuple(s for s, _, _ in axes)
+        last_byte = first_inc + sum(
+            (n - 1) * s for s, _, n in axes
+        ) + np.dtype(dtype).itemsize
+        if last_byte > len(raw):
+            raise LifParseError(
+                f"Image {self.name!r}: memory block holds {len(raw)} bytes "
+                f"but the declared geometry needs {last_byte}"
+            )
         arr = np.lib.stride_tricks.as_strided(
             np.frombuffer(raw, dtype=np.uint8, offset=first_inc)[: max(1, len(raw) - first_inc)]
             .view(np.uint8),
@@ -275,6 +283,13 @@ class LifFile:
             nchars, pos = read_u32(pos)
             block_id = data[pos : pos + 2 * nchars].decode("utf-16-le")
             pos += 2 * nchars
+            if pos + mem_size > len(data):
+                # Python slicing would silently shorten the block, and a
+                # strided view over a short buffer reads out of bounds
+                raise LifParseError(
+                    f"Truncated LIF: memory block {block_id!r} claims "
+                    f"{mem_size} bytes but only {len(data) - pos} remain"
+                )
             blocks[block_id] = data[pos : pos + mem_size]
             pos += mem_size
         return root, blocks

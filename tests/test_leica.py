@@ -439,3 +439,28 @@ class TestFromLifPath:
         assert image.shape == (32, 32)
         np.testing.assert_array_equal(image.intensities, data[0])
         assert image.channels[0].name == "WLL"
+
+
+class TestCorruptLif:
+    def test_not_a_lif(self, tmp_path):
+        from arcadia_microscopy_tools_tpu.io.lif import LifFile, LifParseError
+
+        p = tmp_path / "bogus.lif"
+        p.write_bytes(b"definitely not a lif container" * 8)
+        with pytest.raises(LifParseError):
+            LifFile(p)
+
+    def test_truncated_lif(self, tmp_path):
+        from lif_builder import simple_confocal_lif
+
+        from arcadia_microscopy_tools_tpu.io.lif import LifFile, LifParseError
+
+        whole = tmp_path / "whole.lif"
+        simple_confocal_lif(whole)
+        data = whole.read_bytes()
+        trunc = tmp_path / "trunc.lif"
+        trunc.write_bytes(data[: max(16, len(data) // 3)])
+        with pytest.raises((LifParseError, ValueError, Exception)):
+            f = LifFile(trunc)
+            for img in f.images:
+                img.asarray()
