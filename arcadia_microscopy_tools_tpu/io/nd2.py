@@ -272,6 +272,13 @@ class ND2File:
         if magic != _CHUNK_MAGIC:
             raise ND2ParseError(f"Bad chunk magic at offset {pos}")
         start = pos + 16 + name_len
+        if start + data_len > len(self._mm):
+            # mmap slicing would silently shorten the chunk; fail loudly so a
+            # truncated container cannot decode into garbage frames
+            raise ND2ParseError(
+                f"Truncated ND2: chunk at {pos} claims {data_len} bytes but "
+                f"only {len(self._mm) - start} remain"
+            )
         return bytes(self._mm[start : start + data_len])
 
     def read_chunk(self, name: str) -> bytes:
