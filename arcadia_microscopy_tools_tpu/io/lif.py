@@ -118,23 +118,30 @@ class LifImage:
             )
         return records
 
-    @property
-    def sizes(self) -> dict[str, int]:
-        """Dimension sizes ordered slowest-varying first (descending byte
-        stride), with the channel axis placed by the channel BytesInc."""
-        dims = self._dim_records()
+    def _axes(self) -> list[tuple[int, str, int]]:
+        """(byte stride, label, extent) per axis, slowest-varying first.
+
+        The single source of truth for both `sizes` and `asarray` - the two
+        must agree or consumers pairing them get mismatched shapes. The
+        channel axis stride is the spacing between per-channel BytesInc.
+        """
         axes: list[tuple[int, str, int]] = [
             (d["bytes_inc"], d["label"], d["n"])
-            for d in dims
+            for d in self._dim_records()
             if d["n"] > 1 or d["label"] in ("X", "Y")
         ]
         if len(self._channels) > 1:
-            # channel stride = spacing between per-channel BytesInc values
             incs = sorted(int(c.get("BytesInc", "0")) for c in self._channels)
             ch_stride = incs[1] - incs[0] if len(incs) > 1 else 0
             axes.append((ch_stride, "C", len(self._channels)))
         axes.sort(key=lambda t: -t[0])
-        return {label: n for _, label, n in axes}
+        return axes
+
+    @property
+    def sizes(self) -> dict[str, int]:
+        """Dimension sizes ordered slowest-varying first (descending byte
+        stride), with the channel axis placed by the channel BytesInc."""
+        return {label: n for _, label, n in self._axes()}
 
     @property
     def dtype(self) -> np.dtype:
@@ -149,18 +156,9 @@ class LifImage:
         if raw is None:
             raise LifParseError(f"Memory block {self.memory_block_id!r} not found")
 
-        dims = self._dim_records()
         dtype = self.dtype
-        axes: list[tuple[int, str, int]] = [
-            (d["bytes_inc"], d["label"], d["n"])
-            for d in dims
-            if d["n"] > 1 or d["label"] in ("X", "Y")
-        ]
+        axes = self._axes()
         first_inc = int(self._channels[0].get("BytesInc", "0")) if self._channels else 0
-        if len(self._channels) > 1:
-            incs = sorted(int(c.get("BytesInc", "0")) for c in self._channels)
-            axes.append((incs[1] - incs[0], "C", len(self._channels)))
-        axes.sort(key=lambda t: -t[0])
 
         shape = tuple(n for _, _, n in axes)
         strides = tuple(s for s, _, _ in axes)
@@ -186,7 +184,10 @@ class LifImage:
     @property
     def coords(self) -> dict[str, np.ndarray]:
         """Per-dimension coordinate arrays in each dimension's raw unit:
-        origin + step * index (step = length / number_of_elements)."""
+        origin + step * index, with step = length / number_of_elements - the
+        convention the reference's `_LifDimension.step` uses
+        (src/arcadia_microscopy_tools/leica.py:194-196), which downstream
+        nominal-dimension parity tests pin."""
         out = {}
         for d in self._dim_records():
             if d["n"] > 1:

@@ -229,22 +229,36 @@ class ND2File:
     def __init__(self, path: str | Path):
         self._path = Path(path)
         self._fh = open(self._path, "rb")
-        self._mm = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
-        header = bytes(self._mm[:16])
-        if len(header) < 16 or struct.unpack("<I", header[:4])[0] != _CHUNK_MAGIC:
-            raise ND2ParseError(f"{self._path} is not an ND2 v3 file")
-        self._chunks = self._read_chunkmap()
-        self._attributes = self._decoded("ImageAttributesLV!")["SLxImageAttributes"]
-        self._experiment = (
-            self._decoded("ImageMetadataLV!").get("SLxExperiment")
-            if "ImageMetadataLV!" in self._chunks
-            else None
-        )
-        self._picture_metadata = self._decoded("ImageMetadataSeqLV|0!").get(
-            "SLxPictureMetadata", {}
-        )
-        self._loops = self._parse_loops()
-        self._events_cache: list[dict[str, Any]] | None = None
+        try:
+            self._mm = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        except Exception:
+            self._fh.close()
+            raise
+        try:
+            header = bytes(self._mm[:16])
+            if len(header) < 16 or struct.unpack("<I", header[:4])[0] != _CHUNK_MAGIC:
+                raise ND2ParseError(f"{self._path} is not an ND2 v3 file")
+            self._chunks = self._read_chunkmap()
+            self._attributes = self._decoded("ImageAttributesLV!")["SLxImageAttributes"]
+            self._experiment = (
+                self._decoded("ImageMetadataLV!").get("SLxExperiment")
+                if "ImageMetadataLV!" in self._chunks
+                else None
+            )
+            self._picture_metadata = (
+                self._decoded("ImageMetadataSeqLV|0!").get("SLxPictureMetadata", {})
+                if "ImageMetadataSeqLV|0!" in self._chunks
+                else {}
+            )
+            self._loops = self._parse_loops()
+            self._events_cache: list[dict[str, Any]] | None = None
+            self._text_info_cache: dict[str, str] | None = None
+            self._metadata_cache: Metadata | None = None
+        except Exception:
+            # a corrupt file must not leak the handle/mapping: the caller
+            # never gets an object to close()
+            self.close()
+            raise
 
     # -- container plumbing ------------------------------------------------------
 
@@ -323,6 +337,29 @@ class ND2File:
 
         if self._experiment:
             visit(self._experiment)
+
+        # Reconcile with the frames actually written: an aborted acquisition
+        # stores fewer ImageDataSeq chunks than the experiment's nominal loop
+        # counts (uiSequenceCount is the truth). Shrink the OUTERMOST loop to
+        # what completed; if the frame count does not factor over the inner
+        # loops at all, fall back to one flat T loop so the file stays
+        # readable (matching the nd2 package's partial-file behavior).
+        seq_count = int(self._attributes.get("uiSequenceCount", 1))
+        nominal = 1
+        for lp in loops:
+            nominal *= lp.count
+        if loops and nominal != seq_count:
+            inner = 1
+            for lp in loops[1:]:
+                inner *= lp.count
+            if inner > 0 and seq_count % inner == 0 and seq_count >= inner:
+                loops[0] = LoopInfo(
+                    loops[0].kind, seq_count // inner, loops[0].parameters
+                )
+            else:
+                loops = [LoopInfo("T", seq_count, {})]
+        if not loops and seq_count > 1:
+            loops = [LoopInfo("T", seq_count, {})]
         return loops
 
     @property
@@ -432,18 +469,23 @@ class ND2File:
 
     @property
     def text_info(self) -> dict[str, str]:
+        if self._text_info_cache is not None:
+            return self._text_info_cache
         raw = self._decoded("ImageTextInfoLV!").get("SLxImageTextInfo", {})
         out: dict[str, str] = {}
         for i, key in enumerate(_TEXTINFO_FIELDS):
             value = raw.get(f"TextInfoItem_{i}", "")
             if value:
                 out[key] = value
+        self._text_info_cache = out
         return out
 
     # -- structured metadata -----------------------------------------------------------
 
     @property
     def metadata(self) -> Metadata:
+        if self._metadata_cache is not None:
+            return self._metadata_cache
         planes = self._picture_metadata.get("sPicturePlanes", {})
         plane_items = planes.get("sPlaneNew", {}) or {}
         sample_items = planes.get("sSampleSetting", {}) or {}
@@ -510,7 +552,8 @@ class ND2File:
             channelCount=n_channels,
             frameCount=int(self._attributes.get("uiSequenceCount", 1)),
         )
-        return Metadata(contents=contents, channels=channels)
+        self._metadata_cache = Metadata(contents=contents, channels=channels)
+        return self._metadata_cache
 
     @staticmethod
     def _plane_wavelengths(plane: dict[str, Any]) -> tuple[float | None, float | None]:

@@ -208,16 +208,20 @@ def masks_from_landing(
     if min_size > 0:
         # remove small masks: per-label pixel counts via the MXU segment-sum
         # (scatter-add over a 262K image serializes; labels are bounded by
-        # the sink-component count, far under the column budget)
+        # the sink-component count, far under the column budget). Labels at
+        # or above size_cap would alias into one pooled size bin, so they
+        # are conservatively KEPT rather than filtered on pooled counts -
+        # use relabel_sequential_filtered (exact for any label count) when
+        # sink counts may exceed the cap.
         from ..ops.segment_reduce import segment_sums_matmul
 
-        seg = jnp.clip(labels.ravel(), 0, size_cap - 1)
+        in_cap = labels < size_cap
+        seg = jnp.where(in_cap, labels, 0).ravel()
         sizes = segment_sums_matmul(
             jnp.ones((1, n), jnp.float32), seg, size_cap, exact=False
         )[0]
-        labels = jnp.where(
-            sizes[jnp.clip(labels, 0, size_cap - 1)] >= min_size, labels, 0
-        )
+        keep = ~in_cap | (sizes[jnp.where(in_cap, labels, 0)] >= min_size)
+        labels = jnp.where(keep, labels, 0)
     return labels
 
 

@@ -184,16 +184,18 @@ def difference_of_gaussians(
     img = to_float(x)
     # Center before filtering when the pad mode preserves constants
     # (everything except zero-fill "constant"): both kernels are normalized,
-    # so DoG(img) == DoG(img - m) exactly in real arithmetic. Removing the
+    # so DoG(img) == DoG(img - c) exactly in real arithmetic. Removing the
     # DC component first makes the band matmuls numerically benign on TPU
     # (MXU accumulation error is relative to operand magnitude, and the DC
-    # term dominates it): a constant image yields exactly zero instead of
-    # amplified rounding noise, matching the scipy/skimage float64 behavior
-    # the degenerate-input contracts assume. With "constant" padding the
-    # identity does not hold (the zero fill is not shifted), so the input
-    # passes through uncentered there.
+    # term dominates it). The center is the MIDRANGE, not the mean: min/max
+    # reductions are exact and reduction-order-free, so the centered image
+    # is bit-identical under any spatial sharding (a mean's partial-sum
+    # order varies with the partitioning), a constant image centers to
+    # exactly zero, and the midrange minimizes the worst-case centered
+    # magnitude. With "constant" padding the identity does not hold (the
+    # zero fill is not shifted), so the input passes through uncentered.
     if mode != "constant":
-        img = img - jnp.mean(img)
+        img = img - (jnp.min(img) + jnp.max(img)) * 0.5
     low = gaussian_filter(img, low_sigma, mode=mode, truncate=truncate)
     high = gaussian_filter(img, high_sigma, mode=mode, truncate=truncate)
     return low - high

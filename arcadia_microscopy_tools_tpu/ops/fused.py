@@ -67,10 +67,19 @@ def _order_statistic(cum: jax.Array, k: jax.Array) -> jax.Array:
 
 
 def _percentile_from_cum(cum: jax.Array, q: float, n: int) -> jax.Array:
-    """np.percentile('linear') for integer-binned data, from the cumsum."""
+    """np.percentile('linear') for integer-binned data, from the cumsum.
+
+    The order-statistic position is static, so floor/frac are computed in
+    Python float64: casting pos to float32 first would round it (float32
+    spacing at 4M is 0.5), shifting the selected order statistic by one for
+    2048^2-and-larger images and breaking the exact np.percentile match.
+    """
+    import math
+
     pos = q / 100.0 * (n - 1)
-    k = jnp.floor(jnp.float32(pos))
-    frac = jnp.float32(pos) - k
+    k_i = math.floor(pos)
+    frac = jnp.float32(pos - k_i)
+    k = jnp.float32(k_i)
     v0 = _order_statistic(cum, k)
     v1 = _order_statistic(cum, jnp.minimum(k + 1, n - 1))
     return v0 + frac * (v1 - v0)

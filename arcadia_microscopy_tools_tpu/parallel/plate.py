@@ -553,13 +553,24 @@ class PlateRunner:
             config: PlateRunConfig,
             retry: dict[str, np.ndarray],
             retryable: bool,
-            staged=None,
         ) -> None:
             """One padded device dispatch; fills `tables` / `retry`."""
             n_real = len(images)
-            if staged is None:
+            try:
+                # staging sits inside the isolation boundary: one well with a
+                # mismatched shape/channel count must fail its batch, not
+                # abort the plate
                 padded = images + [images[-1]] * (batch_size - n_real)
                 staged = jax.device_put(np.stack(padded), self._input_sharding())
+            except Exception as e:  # noqa: BLE001
+                warnings.warn(
+                    f"Failed to stage batch for wells {ok_ids}: {e}",
+                    SegmentationWarning,
+                    stacklevel=2,
+                )
+                for well_id in ok_ids:
+                    tables[well_id] = None
+                return
             n_channels = staged.shape[1]
             image_shape = tuple(staged.shape[-2:])
             program = self._get_compiled(n_channels, image_shape, config)
@@ -691,17 +702,23 @@ class PlateRunner:
                     )
 
         # capacity escalation: re-dispatch dense wells with 4x / 16x the
-        # static foreground + cell capacities before giving up on them
+        # static foreground + cell capacities before giving up on them.
+        # Retries are grouped by image shape - they can come from different
+        # original batches, and a dispatch stacks its wells into one array.
         for level in (1, 2):
             if not retry:
                 break
             esc = self._escalated_config(level)
             current, retry = retry, {}
-            ids = list(current)
-            for i in range(0, len(ids), batch_size):
-                bids = ids[i : i + batch_size]
-                dispatch(
-                    [current[w] for w in bids], bids, esc, retry, retryable=level < 2
-                )
+            by_shape: dict[tuple, list[str]] = {}
+            for w in current:
+                by_shape.setdefault(tuple(current[w].shape), []).append(w)
+            for ids in by_shape.values():
+                for i in range(0, len(ids), batch_size):
+                    bids = ids[i : i + batch_size]
+                    dispatch(
+                        [current[w] for w in bids], bids, esc, retry,
+                        retryable=level < 2,
+                    )
 
         return PlateResults(tables, timings)
