@@ -246,3 +246,42 @@ class TestCorruptFiles:
                 results = runner.run(layout, source)
         assert results.failed_wells == ["A02"]
         assert results.tables["A01"] is not None and len(results.tables["A01"]) >= 1
+
+    def test_aborted_acquisition_shrinks_outer_loop(self, rng, tmp_path):
+        """A timelapse set up for T=6 but aborted after 4 frames: the reader
+        reconciles the loop shape with the frames actually written instead of
+        failing to reshape."""
+        import struct as _struct
+
+        from nd2_builder import ND2Builder, encode_variant
+
+        frames = (rng.random((4, 16, 16)) * 500).astype(np.uint16)
+        b = ND2Builder()
+        b.add_variant("ImageAttributesLV!", {"SLxImageAttributes": {
+            "uiWidth": 16, "uiHeight": 16, "uiComp": 1,
+            "uiBpcInMemory": 16, "uiBpcSignificant": 16,
+            "uiWidthBytes": 32, "uiSequenceCount": 4,
+        }})
+        b.add_variant("ImageTextInfoLV!", {"SLxImageTextInfo": {
+            "TextInfoItem_9": "1/15/2024 10:30:00 AM",
+            "TextInfoItem_6": "Sample 1:\n  Exposure: 100 ms\n  Binning: 1x1",
+        }})
+        # the experiment still claims the NOMINAL count of 6
+        b.add_variant("ImageMetadataLV!", {"SLxExperiment": {
+            "eType": 1, "uLoopPars": {"uiCount": 6, "dPeriod": 100.0},
+        }})
+        b.add_variant("ImageMetadataSeqLV|0!", {"SLxPictureMetadata": {
+            "dCalibration": 0.325, "dAspect": 1.0,
+            "sPicturePlanes": {"uiCount": 1, "sPlaneNew": {"a0": {
+                "sDescription": "DAPI", "uiColor": 0xFF0000}}},
+        }})
+        for t in range(4):
+            payload = _struct.pack("<d", t * 100.0) + frames[t].tobytes()
+            b.add(f"ImageDataSeq|{t}!", payload)
+        path = tmp_path / "aborted.nd2"
+        b.write(path)
+
+        with ND2File(path) as f:
+            assert f.sizes == {"T": 4, "Y": 16, "X": 16}
+            arr = f.asarray()
+        np.testing.assert_array_equal(arr, frames)
