@@ -253,7 +253,7 @@ class TestCorruptFiles:
         failing to reshape."""
         import struct as _struct
 
-        from nd2_builder import ND2Builder, encode_variant
+        from nd2_builder import ND2Builder
 
         frames = (rng.random((4, 16, 16)) * 500).astype(np.uint16)
         b = ND2Builder()
