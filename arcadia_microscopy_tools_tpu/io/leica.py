@@ -181,9 +181,15 @@ def _wavelength_nm(raw: str | int | float) -> float:
 
 
 def _as_list(node: Any) -> list:
-    """XML-to-dict conversion collapses single-element lists; undo that."""
+    """XML-to-dict conversion collapses single-element lists; undo that.
+
+    An EMPTY dict means the element was absent (the `.get(..., {})` chains
+    used by every caller), not a single empty record - returning [{}] here
+    would send field-less records into the record parsers (KeyError on
+    laser-less widefield images, a bogus (0,0,0) tile for a montage without
+    TileScanInfo, a 0-nm lambda step)."""
     if isinstance(node, dict):
-        return [node]
+        return [node] if node else []
     return list(node) if node else []
 
 

@@ -247,10 +247,7 @@ class SegmentationMask:
         assert self.property_names is not None  # type checker blind to __post_init__
 
         requested = list(self.property_names)
-        needs_circularity = "circularity" in requested
-        needs_volume = "volume" in requested
-        needs_solidity = "solidity" in requested
-        needs_convex = "area_convex" in requested or needs_solidity
+        needs_convex = "area_convex" in requested or "solidity" in requested
 
         dm = self._device_measurements
         properties: dict[str, ScalarArray] = {}
@@ -298,9 +295,12 @@ class SegmentationMask:
                             values = central_m[:, p, q] / mu00 ** (1 + (p + q) / 2.0)
                         properties[f"moments_normalized-{p}-{q}"] = values
             elif name in ("inertia_tensor", "inertia_tensor_eigvals"):
+                # skimage convention: T[0,0] carries the COLUMN spread
+                # (mu[0,2]/mu00) - inertia about axis 0 - and T[1,1] the row
+                # spread; central_m indexes as [row power, col power]
                 mu00 = np.maximum(central_m[:, 0, 0], 1e-30)
-                t00 = central_m[:, 2, 0] / mu00
-                t11 = central_m[:, 0, 2] / mu00
+                t00 = central_m[:, 0, 2] / mu00
+                t11 = central_m[:, 2, 0] / mu00
                 t01 = -central_m[:, 1, 1] / mu00
                 if name == "inertia_tensor":
                     properties["inertia_tensor-0-0"] = t00
@@ -319,31 +319,28 @@ class SegmentationMask:
             elif name == "equivalent_diameter_area":
                 area = dm["area"].astype(np.float64)
                 properties["equivalent_diameter_area"] = np.sqrt(4.0 * area / np.pi)
-            elif name in ("circularity", "volume"):
-                continue  # derived below
+            elif name == "circularity":
+                # (4*pi*area) / perimeter^2, clamped to 0 when perimeter == 0
+                # (reference masks.py:291-297); derived IN PLACE so column
+                # order follows the requested order
+                area = dm["area"].astype(np.float64)
+                perimeter = dm["perimeter"].astype(np.float64)
+                properties["circularity"] = np.where(
+                    perimeter > 0, (4.0 * np.pi * area) / (perimeter**2), 0.0
+                )
+            elif name == "volume":
+                # prolate spheroid (4/3)*pi*a*b^2 from the 2D semi-axes
+                # (reference masks.py:299-305)
+                a = dm["axis_major_length"].astype(np.float64) / 2.0
+                b = dm["axis_minor_length"].astype(np.float64) / 2.0
+                properties["volume"] = np.where(
+                    (a > 0) & (b > 0), (4.0 / 3.0) * np.pi * a * b * b, 0.0
+                )
             else:
                 raise ValueError(
                     f"Unsupported property name: '{name}'. Supported names: "
                     f"{SUPPORTED_PROPERTY_NAMES}"
                 )
-
-        # Derive circularity: (4*pi*area) / perimeter^2, clamped to 0 when
-        # perimeter == 0 (reference masks.py:291-297).
-        if needs_circularity:
-            area = dm["area"].astype(np.float64)
-            perimeter = dm["perimeter"].astype(np.float64)
-            properties["circularity"] = np.where(
-                perimeter > 0, (4.0 * np.pi * area) / (perimeter**2), 0.0
-            )
-
-        # Derive volume: prolate spheroid model (4/3)*pi*a*b^2 from 2D
-        # semi-axes - a relative shape indicator (reference masks.py:299-305).
-        if needs_volume:
-            a = dm["axis_major_length"].astype(np.float64) / 2.0
-            b = dm["axis_minor_length"].astype(np.float64) / 2.0
-            properties["volume"] = np.where(
-                (a > 0) & (b > 0), (4.0 / 3.0) * np.pi * a * b * b, 0.0
-            )
 
         # Per-channel intensity properties: one fused device pass for the
         # whole channel stack

@@ -143,6 +143,26 @@ def _trace_boundary_pixels(binary: np.ndarray) -> list[np.ndarray]:
     return out
 
 
+def _label_groups(lbl: np.ndarray, n: int):
+    """Per-label foreground coordinates via ONE argsort.
+
+    Yields (label, rows, cols) for labels 1..n with nonzero pixel counts.
+    The per-label `mask == k` rescan pattern is O(num_labels x num_fg_pixels)
+    - quadratic on dense plates; sorting the foreground once and slicing is
+    O(N log N) total.
+    """
+    ys, xs = np.nonzero(lbl)
+    order = lbl[ys, xs]
+    perm = np.argsort(order, kind="stable")
+    so = order[perm]
+    sy, sx = ys[perm], xs[perm]
+    bounds = np.searchsorted(so, np.arange(1, n + 2))
+    for k in range(1, n + 1):
+        a, b = bounds[k - 1], bounds[k]
+        if a < b:
+            yield k, sy[a:b], sx[a:b]
+
+
 def extract_outlines(
     label_image: Int64Array, method: str = "cellpose"
 ) -> list[Float64Array]:
@@ -171,16 +191,10 @@ def extract_outlines(
                 o if len(o) > 0 else np.array([]).reshape(0, 2) for o in native
             ]
 
-    outlines: list[Float64Array] = []
-    # per-cell bbox crops keep memory O(cell area), not O(N*H*W)
-    ys, xs = np.nonzero(lbl)
-    order = lbl[ys, xs]
-    for k in range(1, n + 1):
-        sel = order == k
-        if not sel.any():
-            outlines.append(np.array([]).reshape(0, 2))
-            continue
-        cy, cx = ys[sel], xs[sel]
+    # per-cell bbox crops keep memory O(cell area), not O(N*H*W); one argsort
+    # groups the foreground by label instead of an O(n*fg) rescan per cell
+    outlines: list[Float64Array] = [np.array([]).reshape(0, 2) for _ in range(n)]
+    for k, cy, cx in _label_groups(lbl, n):
         minr, maxr = cy.min(), cy.max()
         minc, maxc = cx.min(), cx.max()
         minr_p = max(minr - 1, 0)
@@ -196,10 +210,7 @@ def extract_outlines(
             contours = [c - 1.0 for c in contours]  # undo the extra pad
         if contours:
             main = max(contours, key=len)
-            main = main + np.array([minr_p, minc_p], dtype=np.float64)
-            outlines.append(main)
-        else:
-            outlines.append(np.array([]).reshape(0, 2))
+            outlines[k - 1] = main + np.array([minr_p, minc_p], dtype=np.float64)
     return outlines
 
 
@@ -276,13 +287,7 @@ def feret_diameters(label_image: Int64Array) -> np.ndarray:
     n = int(lbl.max())
     h, w = lbl.shape
     out = np.zeros(n, dtype=np.float64)
-    ys, xs = np.nonzero(lbl)
-    order = lbl[ys, xs]
-    for k in range(1, n + 1):
-        sel = order == k
-        if not sel.any():
-            continue
-        cy, cx = ys[sel], xs[sel]
+    for k, cy, cx in _label_groups(lbl, n):
         minr, minc = cy.min(), cx.min()
         crop = lbl[minr : cy.max() + 1, minc : cx.max() + 1] == k
         contours = _marching_squares(np.pad(crop.astype(np.uint8), 1))
@@ -317,13 +322,7 @@ def convex_areas(label_image: Int64Array) -> np.ndarray:
     lbl = np.asarray(label_image)
     n = int(lbl.max())
     areas = np.zeros(n, dtype=np.float64)
-    ys, xs = np.nonzero(lbl)
-    order = lbl[ys, xs]
-    for k in range(1, n + 1):
-        sel = order == k
-        if not sel.any():
-            continue
-        cy, cx = ys[sel], xs[sel]
+    for k, cy, cx in _label_groups(lbl, n):
         minr, minc = cy.min(), cx.min()
         hh = cy.max() - minr + 1
         ww = cx.max() - minc + 1

@@ -235,7 +235,10 @@ class SegmentationModel:
 
         pad_h = (-h) % _DOWNSAMPLE_MULTIPLE
         pad_w = (-w) % _DOWNSAMPLE_MULTIPLE
-        x = np.pad(x, ((0, 0), (0, pad_h), (0, pad_w)), mode="reflect")
+        # "edge" (not "reflect") tolerates pads of any size, so tiny inputs
+        # (H or W below the downsample multiple) segment instead of crashing
+        # inside np.pad; the pad region only feeds the net's receptive field
+        x = np.pad(x, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
         return jnp.asarray(np.moveaxis(x, 0, -1)), (h, w)
 
     def _resolve_niter(self, params: SegmentationParams) -> int:

@@ -452,3 +452,29 @@ class TestOutlines:
         outline = mask.cell_outlines[0]
         d = np.hypot(outline[:, 0] - 25, outline[:, 1] - 25)
         assert abs(d.mean() - 8) < 1.5
+
+
+class TestInertiaTensorConvention:
+    def test_horizontal_bar_tensor_axes(self):
+        """skimage's inertia_tensor-0-0 carries the COLUMN spread (inertia
+        about axis 0): for a 1-row horizontal bar it is large while -1-1 is
+        ~0. Regression for a swapped diagonal that eigenvalue tests cannot
+        catch (trace and eigvals are swap-invariant)."""
+        mask = np.zeros((16, 16), np.int64)
+        mask[8, 3:13] = 1  # 1 x 10 horizontal bar
+        sm = SegmentationMask(
+            mask, remove_edge_cells=False, property_names=["inertia_tensor"]
+        )
+        t = sm.cell_properties
+        # column spread of 10 consecutive columns: mean of (dc^2) = 8.25
+        np.testing.assert_allclose(t["inertia_tensor-0-0"][0], 8.25, atol=1e-6)
+        np.testing.assert_allclose(t["inertia_tensor-1-1"][0], 0.0, atol=1e-6)
+
+    def test_default_column_order_matches_request(self):
+        mask = np.zeros((16, 16), np.int64)
+        mask[4:10, 4:10] = 1
+        sm = SegmentationMask(mask, remove_edge_cells=False)
+        cols = list(sm.cell_properties)
+        # derived properties sit at their requested positions, not the tail
+        assert cols.index("volume") < cols.index("area")
+        assert cols.index("circularity") < cols.index("solidity")
