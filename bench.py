@@ -134,12 +134,18 @@ def _bench_timelapse_classical(B: int, T: int, H: int, reps: int) -> None:
 
         return jax.vmap(one)(frames)
 
-    _ = int(np.asarray(program(stack)).ravel()[0])
+    def force(out):
+        # slice ON DEVICE and read one scalar: np.asarray(out) would drag the
+        # whole label stack through the (slow, tunneled) host link and
+        # dominate the measurement
+        return int(out[0, 0, 0])
+
+    _ = force(program(stack))
     t0 = time.time()
     out = None
     for _ in range(reps):
         out = program(stack)
-    _ = int(np.asarray(out).ravel()[0])
+    _ = force(out)
     rate = B * T * reps / (time.time() - t0)
     print(json.dumps({
         "metric": f"{H}x{H} timelapse classical (local threshold+opening+CC)",
