@@ -245,6 +245,17 @@ class LifFile:
     def _parse_container(data: bytes) -> tuple[ET.Element, dict[str, bytes]]:
         if len(data) < 13 or struct.unpack_from("<I", data, 0)[0] != 0x70:
             raise LifParseError("Not a LIF file (bad magic)")
+        try:
+            return LifFile._parse_container_unchecked(data)
+        except (struct.error, IndexError, UnicodeDecodeError) as e:
+            # a container truncated mid-header must fail loudly as a parse
+            # error, not leak struct/index internals
+            raise LifParseError(f"Truncated LIF container: {e}") from None
+        except ET.ParseError as e:
+            raise LifParseError(f"Malformed LIF XML header: {e}") from None
+
+    @staticmethod
+    def _parse_container_unchecked(data: bytes) -> tuple[ET.Element, dict[str, bytes]]:
         pos = 0
 
         def read_u32(p):

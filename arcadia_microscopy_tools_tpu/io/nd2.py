@@ -340,15 +340,30 @@ class ND2File:
 
         # Reconcile with the frames actually written: an aborted acquisition
         # stores fewer ImageDataSeq chunks than the experiment's nominal loop
-        # counts (uiSequenceCount is the truth). Shrink the OUTERMOST loop to
-        # what completed; if the frame count does not factor over the inner
-        # loops at all, fall back to one flat T loop so the file stays
-        # readable (matching the nd2 package's partial-file behavior).
-        seq_count = int(self._attributes.get("uiSequenceCount", 1))
+        # counts. uiSequenceCount is the primary truth; when the attribute is
+        # absent, the written ImageDataSeq chunks in the chunk map are the
+        # ground truth instead (a nominal T-loop of N with no sequence count
+        # must NOT collapse to a single frame just because the attribute
+        # defaulted). Shrink the OUTERMOST loop to what completed; if the
+        # frame count does not factor over the inner loops at all, fall back
+        # to one flat T loop so the file stays readable (matching the nd2
+        # package's partial-file behavior).
+        seq_attr = self._attributes.get("uiSequenceCount")
+        n_written = sum(
+            1 for name in self._chunks if name.startswith("ImageDataSeq|")
+        )
+        if seq_attr is not None:
+            seq_count = int(seq_attr)
+        elif n_written:
+            seq_count = n_written
+        else:
+            seq_count = 1
+        self._seq_count = seq_count
         nominal = 1
         for lp in loops:
             nominal *= lp.count
-        if loops and nominal != seq_count:
+        have_truth = seq_attr is not None or n_written > 0
+        if loops and nominal != seq_count and have_truth:
             inner = 1
             for lp in loops[1:]:
                 inner *= lp.count
@@ -432,7 +447,7 @@ class ND2File:
         the de-interleave), instead of stack + moveaxis + ascontiguousarray
         (three full copies at 2048^2 x 4 channels).
         """
-        seq_count = int(self._attributes.get("uiSequenceCount", 1))
+        seq_count = self._seq_count
         sizes = self.sizes
         height, width = sizes["Y"], sizes["X"]
         first = self._read_frame(0)
@@ -550,7 +565,7 @@ class ND2File:
 
         contents = Contents(
             channelCount=n_channels,
-            frameCount=int(self._attributes.get("uiSequenceCount", 1)),
+            frameCount=self._seq_count,
         )
         self._metadata_cache = Metadata(contents=contents, channels=channels)
         return self._metadata_cache
@@ -593,7 +608,7 @@ class ND2File:
         if self._events_cache is not None:
             return self._events_cache
 
-        seq_count = int(self._attributes.get("uiSequenceCount", 1))
+        seq_count = self._seq_count
         columns: dict[str, np.ndarray] = {}
 
         if "CustomData|AcqTimesCache!" in self._chunks:
@@ -666,8 +681,15 @@ class ND2File:
         (start, step). None when the file gives neither.
         """
         points = self._loop_points(loop)
-        explicit = [p.get("dWavelength") for p in points if p.get("dWavelength")]
-        if explicit and len(explicit) == loop.count:
+        # membership, not truthiness: a legitimate dWavelength of 0.0 must
+        # not silently drop the explicit list; require every point to carry
+        # the field before trusting it
+        explicit = [p.get("dWavelength") for p in points]
+        if (
+            explicit
+            and len(explicit) == loop.count
+            and all(wl is not None for wl in explicit)
+        ):
             return np.asarray(explicit, dtype=float)
         pars = loop.parameters
         start = pars.get("dWavelengthStart")
@@ -678,7 +700,7 @@ class ND2File:
 
     def _loop_indices(self, target: LoopInfo) -> np.ndarray:
         """Per-frame index within `target`, given outer->inner loop nesting."""
-        seq_count = int(self._attributes.get("uiSequenceCount", 1))
+        seq_count = self._seq_count
         inner = 1
         seen = False
         for loop in reversed(self._loops):

@@ -209,19 +209,28 @@ def masks_from_landing(
         # remove small masks: per-label pixel counts via the MXU segment-sum
         # (scatter-add over a 262K image serializes; labels are bounded by
         # the sink-component count, far under the column budget). Labels at
-        # or above size_cap would alias into one pooled size bin, so they
-        # are conservatively KEPT rather than filtered on pooled counts -
-        # use relabel_sequential_filtered (exact for any label count) when
-        # sink counts may exceed the cap.
+        # or above size_cap would alias into one pooled size bin, so when
+        # any exist the whole filter routes through an exact scatter-add
+        # count instead (lax.cond: the slow branch only executes on the
+        # rare pathological inputs) - no silent under-filtering either way.
         from ..ops.segment_reduce import segment_sums_matmul
 
-        in_cap = labels < size_cap
-        seg = jnp.where(in_cap, labels, 0).ravel()
-        sizes = segment_sums_matmul(
-            jnp.ones((1, n), jnp.float32), seg, size_cap, exact=False
-        )[0]
-        keep = ~in_cap | (sizes[jnp.where(in_cap, labels, 0)] >= min_size)
-        labels = jnp.where(keep, labels, 0)
+        def _filter_pooled(lbl):
+            in_cap = lbl < size_cap
+            seg = jnp.where(in_cap, lbl, 0).ravel()
+            sizes = segment_sums_matmul(
+                jnp.ones((1, n), jnp.float32), seg, size_cap, exact=False
+            )[0]
+            keep = ~in_cap | (sizes[jnp.where(in_cap, lbl, 0)] >= min_size)
+            return jnp.where(keep, lbl, 0)
+
+        def _filter_exact(lbl):
+            sizes = jnp.zeros(n + 1, jnp.int32).at[lbl.ravel()].add(1)
+            return jnp.where(sizes[lbl] >= min_size, lbl, 0)
+
+        labels = lax.cond(
+            jnp.any(labels >= size_cap), _filter_exact, _filter_pooled, labels
+        )
     return labels
 
 

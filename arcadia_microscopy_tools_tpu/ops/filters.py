@@ -255,8 +255,9 @@ def window_mean_std(
 def _window_stack(x: jax.Array, window: int, mode: str = "reflect") -> jax.Array:
     """Stack all window*window shifted views along a new leading axis.
 
-    Memory is O(window^2 * image); intended for window <= 9. Larger windows
-    should go through the (future) Pallas sorting-network kernel.
+    Memory is O(window^2 * image); used for window <= 9. Larger windows route
+    through the Pallas bit-plane selection kernel (ops/rank_pallas.py) on
+    accelerators, or the strip-chunked sort below elsewhere.
     """
     r = window // 2
     padded = _pad_last2(x, r, r, mode)
@@ -269,37 +270,127 @@ def _window_stack(x: jax.Array, window: int, mode: str = "reflect") -> jax.Array
     return jnp.stack(views, axis=0)
 
 
+# Largest window served by the materialize-all-views sort; beyond it the
+# O(window^2 * image) intermediates dominate memory (window 33 at 2048^2
+# would hold 1089 full-image copies).
+_SMALL_WINDOW_LIMIT = 9
+_RANK_STRIP_ROWS = 64
+
+
+def _use_rank_pallas() -> bool:
+    import os
+
+    return (
+        os.environ.get("AMT_PALLAS_RANK", "1") != "0"
+        and jax.devices()[0].platform != "cpu"
+    )
+
+
+def _rank_select_strips(
+    x2d: jax.Array, ranks: tuple[int, ...], window: int, mode: str
+) -> jax.Array:
+    """Exact order statistics for one 2D image via a strip-chunked sort.
+
+    Bounds memory at O(window^2 * strip * W): strips of rows are processed
+    sequentially under lax.map, each sorting its stacked window views. Same
+    results as the full-view sort, any backend.
+    """
+    h, w = x2d.shape
+    r = window // 2
+    padded = _pad_last2(x2d.astype(jnp.float32), r, r, mode)
+    strip = min(_RANK_STRIP_ROWS, h)
+    n_strips = -(-h // strip)
+    # pad rows so every strip slice is full-size (cropped after)
+    total = n_strips * strip + 2 * r
+    padded = jnp.pad(padded, ((0, total - padded.shape[0]), (0, 0)), mode="edge")
+
+    def one_strip(i):
+        seg = lax.dynamic_slice(padded, (i * strip, 0), (strip + 2 * r, w + 2 * r))
+        views = jnp.stack(
+            [
+                seg[dy : dy + strip, dx : dx + w]
+                for dy in range(window)
+                for dx in range(window)
+            ],
+            axis=0,
+        )
+        srt = jnp.sort(views, axis=0)
+        return jnp.stack([srt[k] for k in ranks])
+
+    out = lax.map(one_strip, jnp.arange(n_strips))  # (n_strips, nr, strip, w)
+    out = jnp.moveaxis(out, 1, 0).reshape(len(ranks), n_strips * strip, w)
+    return out[:, :h, :]
+
+
+def _rank_select_large(
+    x: jax.Array, ranks: tuple[int, ...], window: int, mode: str
+) -> jax.Array:
+    """Order statistics for large windows: Pallas bit-plane selection on
+    accelerators, strip-chunked sort elsewhere. Handles leading batch axes
+    by folding them into a lax.map. Returns (len(ranks), ..., H, W)."""
+    from .rank_pallas import rank_pallas_viable, rank_select_pallas
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    use_pallas = _use_rank_pallas() and rank_pallas_viable(window)
+
+    def one(img2d):
+        if use_pallas:
+            return rank_select_pallas(img2d, window, ranks, pad_mode=mode)
+        return _rank_select_strips(img2d, ranks, window, mode)
+
+    if not lead:
+        return one(x)
+    flat = x.reshape((-1, h, w))
+    out = lax.map(one, flat)  # (N, nr, H, W)
+    return jnp.moveaxis(out, 1, 0).reshape((len(ranks),) + lead + (h, w))
+
+
 @partial(jax.jit, static_argnames=("window", "mode"))
 def median_filter(x: jax.Array, window: int = 3, mode: str = "reflect") -> jax.Array:
     """Median filter over a (window x window) neighborhood.
 
-    Implemented as a full sort over the stacked window views - XLA lowers the
-    sort to a bitonic network on the VPU, vectorized across all pixels.
+    window <= 9: full sort over the stacked window views (XLA lowers the
+    sort to a bitonic network on the VPU, vectorized across all pixels).
+    Larger windows: exact per-pixel bit-plane selection in VMEM tiles
+    (ops/rank_pallas.py) on accelerators - O(tile) memory instead of
+    O(window^2 * image) - with a strip-chunked sort fallback on CPU.
+    skimage's rank filters have no window limit; now neither does this.
     """
-    stack = _window_stack(jnp.asarray(x, dtype=jnp.float32), window, mode)
-    k = stack.shape[0]
-    sorted_stack = jnp.sort(stack, axis=0)
+    k = window * window
+    if window <= _SMALL_WINDOW_LIMIT:
+        stack = _window_stack(jnp.asarray(x, dtype=jnp.float32), window, mode)
+        sorted_stack = jnp.sort(stack, axis=0)
+        if k % 2 == 1:
+            return sorted_stack[k // 2]
+        return 0.5 * (sorted_stack[k // 2 - 1] + sorted_stack[k // 2])
+    ranks = (k // 2,) if k % 2 == 1 else (k // 2 - 1, k // 2)
+    sel = _rank_select_large(x, ranks, window, mode)
     if k % 2 == 1:
-        return sorted_stack[k // 2]
-    return 0.5 * (sorted_stack[k // 2 - 1] + sorted_stack[k // 2])
+        return sel[0]
+    return 0.5 * (sel[0] + sel[1])
 
 
 @partial(jax.jit, static_argnames=("rank", "window", "mode"))
 def rank_filter(x: jax.Array, rank: int, window: int = 3, mode: str = "reflect") -> jax.Array:
-    """Generic rank filter (rank 0 = min, window^2-1 = max)."""
-    stack = _window_stack(jnp.asarray(x, dtype=jnp.float32), window, mode)
-    return jnp.sort(stack, axis=0)[rank]
+    """Generic rank filter (rank 0 = min, window^2-1 = max); any window size
+    (large windows use the same selection paths as median_filter)."""
+    if window <= _SMALL_WINDOW_LIMIT:
+        stack = _window_stack(jnp.asarray(x, dtype=jnp.float32), window, mode)
+        return jnp.sort(stack, axis=0)[rank]
+    return _rank_select_large(x, (rank,), window, mode)[0]
 
 
 # -- Grey morphology / background estimation -----------------------------------
 
 
 def _reduce_window_last2(x: jax.Array, window: int, mode: str, init, op) -> jax.Array:
+    # `mode` names the reduction for readability at call sites; both min and
+    # max pad with edge replication (scipy grey_erosion/dilation 'nearest')
+    del mode
     r = window // 2
-    if mode == "min":
-        padded = _pad_last2(x, r, r, "nearest")
-    else:
-        padded = _pad_last2(x, r, r, "nearest")
+    padded = _pad_last2(x, r, r, "nearest")
     return lax.reduce_window(
         padded,
         init,

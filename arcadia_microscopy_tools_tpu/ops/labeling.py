@@ -63,13 +63,13 @@ _USE_PALLAS_LOCAL = os.environ.get("AMT_PALLAS_CC", "1") != "0"
 def use_pallas_local(enabled: bool) -> None:
     """Toggle the Pallas block-local CC kernel (module-wide).
 
-    The flag is read at trace time, so already-compiled executables would
-    keep their original path; compilation caches are cleared so the next
-    call re-traces under the new setting.
+    The flag is resolved OUTSIDE jit by the public entry points
+    (`label`, `component_roots`) into a static argument, so it participates
+    in their compilation cache keys: flipping it never clears other
+    programs' caches, and both variants stay cached side by side.
     """
     global _USE_PALLAS_LOCAL
     _USE_PALLAS_LOCAL = enabled
-    jax.clear_caches()
 
 _NEIGHBORS_8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
 _NEIGHBORS_4 = [(-1, 0), (0, -1), (0, 1), (1, 0)]
@@ -177,10 +177,11 @@ def _boundary_pairs(lbl: jax.Array, sentinel, offsets, block):
 
 
 def _pallas_viable(shape: tuple[int, int], allow_pallas: bool) -> bool:
+    # the module/env toggle is folded into `allow_pallas` by the public
+    # wrappers (outside jit), so it is part of their static cache keys
     h, w = shape
     return (
         allow_pallas
-        and _USE_PALLAS_LOCAL
         and h % 128 == 0
         and w % 128 == 0
         and jax.devices()[0].platform != "cpu"
@@ -399,14 +400,33 @@ def _seed_boundary_strips(lbl, keys, roots, n, block):
     return out
 
 
-@partial(jax.jit, static_argnames=("connectivity", "pair_cap", "allow_pallas"))
 def component_roots(
+    fg: jax.Array,
+    connectivity: int = 2,
+    pair_cap: int | None = None,
+    allow_pallas: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-pixel component root indices, gather-free.
+
+    `allow_pallas` is resolved here, outside jit, against the module toggle
+    (`use_pallas_local` / AMT_PALLAS_CC), so the choice is a static cache
+    key: None means "module default", and an explicit True is still subject
+    to the module-wide kill switch.
+    """
+    resolved = _USE_PALLAS_LOCAL if allow_pallas is None else (
+        allow_pallas and _USE_PALLAS_LOCAL
+    )
+    return _component_roots_impl(fg, connectivity, pair_cap, resolved)
+
+
+@partial(jax.jit, static_argnames=("connectivity", "pair_cap", "allow_pallas"))
+def _component_roots_impl(
     fg: jax.Array,
     connectivity: int = 2,
     pair_cap: int | None = None,
     allow_pallas: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
-    """Per-pixel component root indices, gather-free.
+    """Jitted body of `component_roots` (allow_pallas already resolved).
 
     The fast path of the labeler: phase-1 block-local sweeps, a union-find
     over COMPACTED boundary edges, then boundary-strip seeding + an in-block
@@ -447,9 +467,9 @@ def component_roots(
     return lbl, converged
 
 
-@partial(jax.jit, static_argnames=("connectivity", "checked"))
+@partial(jax.jit, static_argnames=("connectivity", "checked", "allow_pallas"))
 def _propagate_labels(
-    fg: jax.Array, connectivity: int = 2, checked: bool = True
+    fg: jax.Array, connectivity: int = 2, checked: bool = True, allow_pallas: bool = True
 ) -> jax.Array:
     """Union-find by label propagation; returns root linear indices per pixel
     (sentinel = H*W on background)."""
@@ -458,7 +478,7 @@ def _propagate_labels(
     sentinel = jnp.int32(n)
     offsets = _NEIGHBORS_8 if connectivity == 2 else _NEIGHBORS_4
 
-    lbl, _ = component_roots(fg, connectivity)
+    lbl, _ = _component_roots_impl(fg, connectivity, None, allow_pallas)
 
     if not checked:
         return lbl
@@ -494,7 +514,6 @@ def _rank_roots(roots_flat: jax.Array, sentinel: int) -> jax.Array:
     return jnp.concatenate([mapping, jnp.zeros((1,), jnp.int32)])
 
 
-@partial(jax.jit, static_argnames=("connectivity", "checked"))
 def label(mask: jax.Array, connectivity: int = 2, checked: bool = True) -> jax.Array:
     """Label connected components of a boolean mask.
 
@@ -511,10 +530,20 @@ def label(mask: jax.Array, connectivity: int = 2, checked: bool = True) -> jax.A
         component's first pixel (background = 0), matching
         `skimage.measure.label`.
     """
+    # resolve the Pallas-CC module flag outside jit: it becomes a static
+    # cache key, so use_pallas_local() toggles take effect without clearing
+    # any compilation caches
+    return _label_impl(mask, connectivity, checked, _USE_PALLAS_LOCAL)
+
+
+@partial(jax.jit, static_argnames=("connectivity", "checked", "allow_pallas"))
+def _label_impl(
+    mask: jax.Array, connectivity: int, checked: bool, allow_pallas: bool
+) -> jax.Array:
     fg = jnp.asarray(mask).astype(bool)
     h, w = fg.shape
     n = h * w
-    roots = _propagate_labels(fg, connectivity, checked)
+    roots = _propagate_labels(fg, connectivity, checked, allow_pallas)
     mapping = _rank_roots(roots.ravel(), n)
     return jnp.where(fg, mapping[roots], 0).astype(jnp.int32)
 

@@ -142,8 +142,14 @@ class Pipeline:
 
     def _apply_operations(self, intensities):
         """Apply all operations to an image array (eager; used as a fallback
-        and for API compatibility)."""
-        out = intensities
+        and for API compatibility).
+
+        `copy=True` protects the caller's array from in-place-mutating host
+        operations exactly as the reference does (`amt/pipeline.py:117-121`);
+        on the jitted path copying is implicit because traced programs never
+        mutate their inputs.
+        """
+        out = intensities.copy() if self.copy else intensities
         for operation in self.operations:
             out = operation(out)
         return out

