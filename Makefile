@@ -1,4 +1,4 @@
-.PHONY: test test-fast lint bench train dryrun native docs accuracy
+.PHONY: test test-fast test-tpu lint bench train dryrun native docs accuracy
 
 native:
 	mkdir -p arcadia_microscopy_tools_tpu/_native
@@ -10,8 +10,13 @@ test:
 test-fast:
 	python -m pytest tests/ -q -x -m "not slow"
 
+# Compiled-on-chip lane: Pallas kernels through real Mosaic lowering, fused
+# frontend, regionprops, one plate batch. Skips cleanly without a TPU.
+test-tpu:
+	python -m pytest tests_tpu/ -q
+
 lint:
-	python -m compileall -q arcadia_microscopy_tools_tpu tests bench.py __graft_entry__.py
+	python -m compileall -q arcadia_microscopy_tools_tpu tests tests_tpu bench.py __graft_entry__.py
 	python tools/lint.py
 
 docs:

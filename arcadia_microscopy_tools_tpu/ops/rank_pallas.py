@@ -39,8 +39,10 @@ __all__ = ["rank_select_pallas", "rank_pallas_viable", "RANK_BLOCK_COLS"]
 RANK_BLOCK_COLS = 128  # lane-aligned minor block dimension
 # Conservative scoped-VMEM budget for the window^2 per-offset compare
 # temporaries Mosaic keeps live inside the unrolled count (the 16 MB scoped
-# limit minus the assembled neighborhood + states).
-_VMEM_BUDGET = 10 * 2**20
+# limit has to also cover the assembled 3x3 neighborhood and loop states,
+# and Mosaic's stack accounting runs ~2-3x the naive estimate - measured:
+# a 10 MB naive estimate hit the 16 MB scoped limit at 25.5 MB).
+_VMEM_BUDGET = 4 * 2**20
 
 
 def _pick_block_rows(window: int) -> int | None:
@@ -91,16 +93,17 @@ def _rank_kernel(*refs, window: int, ranks: tuple[int, ...]):
 
     for out_ref, k in zip(outs, ranks):
         kk = jnp.int32(k)
-        # sign bit first: candidate 0 splits negatives from non-negatives
-        c = count_lt(jnp.zeros((br, bc), jnp.int32))
-        prefix = jnp.where(c <= kk, jnp.int32(0), jnp.int32(-(2**31)))
 
+        # MSB-first bisection over the signed key space. One loop covers all
+        # 32 bits: at t=0 the candidate is prefix + (1<<31), which wraps
+        # -2^31 + -2^31 -> 0 in two's complement - exactly the sign-bit
+        # split - so the sign round needs no separate (VMEM-hungry)
+        # count_lt instantiation outside the loop.
         def body(t, prefix):
-            bit = 30 - t
-            cand = prefix + (jnp.int32(1) << bit)
+            cand = prefix + (jnp.int32(1) << (jnp.int32(31) - t))
             return jnp.where(count_lt(cand) <= kk, cand, prefix)
 
-        prefix = lax.fori_loop(0, 31, body, prefix)
+        prefix = lax.fori_loop(0, 32, body, jnp.full((br, bc), -(2**31), jnp.int32))
         vbits = jnp.where(prefix < 0, prefix ^ jnp.int32(0x7FFFFFFF), prefix)
         out_ref[:] = lax.bitcast_convert_type(vbits, jnp.float32)
 

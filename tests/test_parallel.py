@@ -304,3 +304,66 @@ class TestUnetPlatePath:
             assert "intensity_mean_ch0" in table.columns or any(
                 c.startswith("intensity_mean") for c in table.columns
             )
+
+
+class TestSpatialPartitioning:
+    def test_gspmd_collectives_are_sane(self):
+        """Audit the optimized HLO of the spatially-sharded well program
+        (docs/spatial_sharding.md): GSPMD must implement the stencil/CC
+        stages with thin halo collective-permutes and bounded all-gathers,
+        not per-sweep full-image replication. Guards against a partitioning
+        regression shipping silently."""
+        import re
+        from collections import Counter
+
+        from arcadia_microscopy_tools_tpu.parallel.plate import (
+            PlateRunConfig,
+            _build_well_program,
+        )
+        from arcadia_microscopy_tools_tpu.parallel.mesh import well_sharding
+
+        mesh = create_mesh(MeshConfig(space_parallelism=4))
+        cfg = PlateRunConfig(max_cells=32, min_size=4)
+        fn = _build_well_program(cfg, n_channels=2, spatial=True)
+        sh = well_sharding(mesh, spatial=True)
+        prog = jax.jit(jax.vmap(fn), in_shardings=(sh,))
+        x = jax.device_put(jnp.zeros((2, 2, 128, 128), jnp.uint16), sh)
+        txt = prog.lower(x).compile().as_text()
+
+        ops = Counter(
+            m.group(1)
+            for m in re.finditer(
+                r"(collective-permute|all-reduce|all-gather)(?:-start)?\(", txt
+            )
+        )
+        # halo exchange must exist (the CC sweeps shift rows across shards)
+        assert ops["collective-permute"] > 0, ops
+        # histogram merges must exist
+        assert ops["all-reduce"] > 0, ops
+
+        # every all-gather stays bounded by the largest legitimate gather:
+        # the DoG's halo-padded intermediate, (H + 2*truncate*high_sigma)^2
+        # f32 = (128+128)^2 here (shrinks to ~1.1 image-equivalents at the
+        # production 2048^2). Sort/compaction stages centralize smaller
+        # arrays; a per-sweep full replication would blow far past this.
+        image_bytes = (128 + 2 * 64) ** 2 * 4
+        gather_bytes = []
+        for shape in re.findall(r"= ([a-z0-9]+\[[0-9,]*\])[^ ]* all-gather", txt):
+            dtype, dims = re.match(r"([a-z0-9]+)\[([0-9,]*)\]", shape).groups()
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            itemsize = 1 if dtype == "pred" else 4
+            gather_bytes.append(n * itemsize)
+        assert gather_bytes, "expected some all-gathers (sort centralization)"
+        assert max(gather_bytes) <= image_bytes, max(gather_bytes)
+
+        # halo permutes are thin: row-strip shaped, not image shaped
+        strip_rows = [
+            int(m.group(1))
+            for m in re.finditer(
+                r"= [a-z0-9]+\[1,(\d+),\d+\]\{[0-9,]+\} collective-permute", txt
+            )
+        ]
+        assert strip_rows and max(strip_rows) <= 8, strip_rows[:10]

@@ -18,7 +18,10 @@ from pathlib import Path
 
 MAX_LINE = 100
 REPO = Path(__file__).resolve().parent.parent
-DEFAULT_PATHS = ["arcadia_microscopy_tools_tpu", "tests", "tools", "bench.py", "__graft_entry__.py"]
+DEFAULT_PATHS = [
+    "arcadia_microscopy_tools_tpu", "tests", "tests_tpu", "tools",
+    "bench.py", "__graft_entry__.py",
+]
 
 
 def iter_files(paths: list[str]) -> list[Path]:
