@@ -33,11 +33,13 @@ from ..ops.labeling import label as cc_label
 __all__ = [
     "follow_flows",
     "follow_flows_indices",
+    "follow_flows_indices_sparse",
     "masks_from_flows",
     "masks_from_landing",
     "masks_to_flows",
     "flow_error",
     "compute_masks",
+    "compute_masks_sparse",
 ]
 
 
@@ -133,6 +135,80 @@ def follow_flows_indices(
 
     _, nxt, _ = lax.while_loop(cond, body, (jnp.int32(0), nxt, jnp.bool_(True)))
     return nxt.reshape(h, w)
+
+
+@partial(jax.jit, static_argnames=("niter", "cap"))
+def follow_flows_indices_sparse(
+    flows: jax.Array,  # (H, W, 2) - [dY, dX] unit flows toward cell centers
+    active: jax.Array,  # (H, W) bool
+    niter: int = 200,
+    cap: int = 65536,
+) -> tuple[jax.Array, jax.Array]:
+    """`follow_flows_indices` restricted to the active pixel set.
+
+    The dense pointer-doubling composes the FULL 4M-entry successor map per
+    round (~8 full-image gathers, the 2048^2 deep-path bottleneck); cells
+    typically cover a few percent of a well, so this variant compacts the
+    active pixels to a static `cap`-sized list and doubles the successor
+    permutation inside that compact domain - every round is a cap-sized
+    gather (ROADMAP round-2 candidate 3). A landing pixel outside the
+    active set (flows can step onto background at mask borders) becomes a
+    fixpoint, exactly like the dense variant's inactive self-loops.
+
+    Returns:
+        (landing, ok): landing is the (H, W) int32 flat landing-index image
+        (inactive pixels map to themselves); `ok` is False when the active
+        count exceeded `cap`, in which case the result only advected the
+        first `cap` pixels and the caller must fall back to the dense path.
+    """
+    h, w = active.shape
+    n = h * w
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    fy = flows[..., 0].astype(jnp.float32)
+    fx = flows[..., 1].astype(jnp.float32)
+    ny = jnp.clip(jnp.round(yy + fy).astype(jnp.int32), 0, h - 1)
+    nx = jnp.clip(jnp.round(xx + fx).astype(jnp.int32), 0, w - 1)
+    own = (yy * w + xx).astype(jnp.int32).ravel()
+    nxt = jnp.where(active.ravel(), (ny * w + nx).ravel(), own)
+    act = active.ravel()
+
+    n_active = jnp.sum(act)
+    ok = n_active <= cap
+    (idx,) = jnp.nonzero(act, size=cap, fill_value=n)  # (cap,) flat indices
+    valid = idx < n
+    idx_safe = jnp.where(valid, idx, 0)
+
+    # slot map: full-image position -> compact slot (cap on non-active)
+    slot = jnp.full((n,), cap, jnp.int32).at[idx_safe].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop"
+    )
+    # compact successor permutation; landing on a non-active pixel (or a
+    # padded slot) becomes a self-loop
+    comp_next = slot[nxt[idx_safe]]
+    comp_next = jnp.where(
+        valid & (comp_next < cap), comp_next, jnp.arange(cap, dtype=jnp.int32)
+    )
+
+    steps = max(1, int(np.ceil(np.log2(max(niter, 2)))))
+
+    def cond(state):
+        it, _, changed = state
+        return changed & (it < steps)
+
+    def body(state):
+        it, cur, _ = state
+        new = cur[cur]
+        return it + 1, new, jnp.any(new != cur)
+
+    _, comp_final, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), comp_next, jnp.bool_(True))
+    )
+    # back to flat image indices; non-active pixels land on themselves
+    landing_compact = idx_safe[comp_final]
+    landing = own.at[idx_safe].set(
+        jnp.where(valid, landing_compact, idx_safe), mode="drop"
+    )
+    return landing.reshape(h, w), ok
 
 
 @partial(jax.jit, static_argnames=("min_size", "sink_count"))
@@ -336,7 +412,7 @@ def flow_error(
 
 @partial(
     jax.jit,
-    static_argnames=("niter", "max_cells", "min_size", "flow_threshold"),
+    static_argnames=("niter", "max_cells", "min_size", "flow_threshold", "sparse_cap"),
 )
 def compute_masks(
     network_output: jax.Array,  # (H, W, 3): dY, dX, cellprob logits
@@ -345,22 +421,78 @@ def compute_masks(
     niter: int = 200,
     max_cells: int = 1024,
     min_size: int = 15,
+    sparse_cap: int | None = None,
 ) -> jax.Array:
     """Full mask reconstruction: threshold cellprob, integrate flows, cluster
     sinks, QC by flow error, relabel sequentially. Returns int32 labels.
 
     `flow_threshold <= 0` disables the QC pass (Cellpose convention).
 
+    `sparse_cap` routes flow integration through the active-pixel-compacted
+    doubling (`follow_flows_indices_sparse`) when the foreground fits the
+    cap, with a lax.cond fallback to the dense path when it does not -
+    identical landings either way (equivalence-tested), large speedup on
+    big sparse wells.
+
     The network is trained against 5x-scaled unit flows (the Cellpose
     target convention); integration and QC use the unit-scale field.
     """
-    from ..ops.labeling import relabel_sequential, relabel_sequential_filtered
-
     flows = network_output[..., :2] / 5.0
     cellprob = network_output[..., 2]
     active = cellprob > cellprob_threshold
 
-    landing = follow_flows_indices(flows, active, niter=niter)
+    if sparse_cap is not None:
+        # NOTE: under vmap this cond becomes a select and BOTH paths run;
+        # batched callers that want the sparse win should use
+        # compute_masks_sparse and route the overflow flag to their own
+        # capacity escalation (parallel/plate.py does).
+        landing = lax.cond(
+            jnp.sum(active) <= sparse_cap,
+            lambda: follow_flows_indices_sparse(
+                flows, active, niter=niter, cap=sparse_cap
+            )[0],
+            lambda: follow_flows_indices(flows, active, niter=niter),
+        )
+    else:
+        landing = follow_flows_indices(flows, active, niter=niter)
+    return _finish_masks(landing, active, flows, flow_threshold, max_cells, min_size)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("niter", "max_cells", "min_size", "flow_threshold", "cap"),
+)
+def compute_masks_sparse(
+    network_output: jax.Array,  # (H, W, 3): dY, dX, cellprob logits
+    cap: int,
+    cellprob_threshold: float = 0.0,
+    flow_threshold: float = 0.4,
+    niter: int = 200,
+    max_cells: int = 1024,
+    min_size: int = 15,
+) -> tuple[jax.Array, jax.Array]:
+    """`compute_masks` with UNCONDITIONALLY sparse flow integration.
+
+    Returns (labels, ok): `ok` is False when the active-pixel count exceeded
+    `cap`, in which case only the first `cap` pixels were advected and the
+    labels are incomplete - callers must treat it like any other capacity
+    overflow (the plate runner re-dispatches the well with escalated caps).
+    vmap-friendly: no lax.cond, so batching never silently runs the dense
+    path for every image.
+    """
+    flows = network_output[..., :2] / 5.0
+    cellprob = network_output[..., 2]
+    active = cellprob > cellprob_threshold
+    landing, ok = follow_flows_indices_sparse(flows, active, niter=niter, cap=cap)
+    labels = _finish_masks(landing, active, flows, flow_threshold, max_cells, min_size)
+    return labels, ok
+
+
+def _finish_masks(landing, active, flows, flow_threshold, max_cells, min_size):
+    """Shared tail of mask reconstruction: sink clustering, size filter,
+    flow-error QC, sequential relabel."""
+    from ..ops.labeling import relabel_sequential, relabel_sequential_filtered
+
     # the size filter rides the relabel sort (run lengths are free in sorted
     # order), so masks_from_landing skips its own size pass
     labels = masks_from_landing(landing, active, min_size=0)

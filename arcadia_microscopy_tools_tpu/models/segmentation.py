@@ -213,10 +213,20 @@ class SegmentationModel:
     # kept as an alias so reference-style call sites keep working
     cellpose_model = network
 
+    # canonical cell diameter the net is trained at (training radii 3-23 px
+    # center on ~30 px diameters; also Cellpose's canonical, model.py:51-52)
+    _CANONICAL_DIAMETER = 30.0
+
     @staticmethod
-    def _prepare_image(intensities: np.ndarray) -> tuple[jnp.ndarray, tuple[int, int]]:
+    def _prepare_image(
+        intensities: np.ndarray, scale: float = 1.0
+    ) -> tuple[jnp.ndarray, tuple[int, int], tuple[int, int]]:
         """Normalize to [0,1] by the 1-99 percentile stretch (the Cellpose
-        input convention), arrange to (H, W, 3), pad to the U-Net multiple."""
+        input convention), arrange to (H, W, 3), optionally rescale so the
+        expected cell diameter hits the canonical training scale (the
+        Cellpose diameter mechanism), and pad to the U-Net multiple.
+
+        Returns (device image, original (h, w), scaled (hs, ws))."""
         x = np.asarray(intensities, dtype=np.float32)
         if x.ndim == 2:
             x = x[None]
@@ -233,19 +243,47 @@ class SegmentationModel:
         denom = np.maximum(p99 - p1, 1e-6)
         x = np.clip((x - p1) / denom, 0.0, 1.0)
 
-        pad_h = (-h) % _DOWNSAMPLE_MULTIPLE
-        pad_w = (-w) % _DOWNSAMPLE_MULTIPLE
+        if abs(scale - 1.0) > 1e-3:
+            from scipy.ndimage import zoom
+
+            x = zoom(x, (1.0, scale, scale), order=1)
+        hs, ws = x.shape[1], x.shape[2]
+
+        pad_h = (-hs) % _DOWNSAMPLE_MULTIPLE
+        pad_w = (-ws) % _DOWNSAMPLE_MULTIPLE
         # "edge" (not "reflect") tolerates pads of any size, so tiny inputs
         # (H or W below the downsample multiple) segment instead of crashing
         # inside np.pad; the pad region only feeds the net's receptive field
         x = np.pad(x, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
-        return jnp.asarray(np.moveaxis(x, 0, -1)), (h, w)
+        return jnp.asarray(np.moveaxis(x, 0, -1)), (h, w), (hs, ws)
+
+    @staticmethod
+    def _upscale_labels(
+        labels: np.ndarray, shape: tuple[int, int]
+    ) -> np.ndarray:
+        """Nearest-neighbor resize of a label image back to the original
+        grid (labels are categorical; interpolation would invent ids)."""
+        hs, ws = labels.shape
+        h, w = shape
+        if (hs, ws) == (h, w):
+            return labels
+        yi = np.minimum(((np.arange(h) + 0.5) * hs / h).astype(int), hs - 1)
+        xi = np.minimum(((np.arange(w) + 0.5) * ws / w).astype(int), ws - 1)
+        return labels[yi[:, None], xi[None, :]]
+
+    def _rescale_factor(self, params: SegmentationParams) -> float:
+        """Cellpose diameter semantics: resize the input by canonical /
+        diameter so cells reach the scale the net was trained at
+        (reference behavior doc model.py:49-56)."""
+        return self._CANONICAL_DIAMETER / float(params["diameter"])
 
     def _resolve_niter(self, params: SegmentationParams) -> int:
         if params["niter"] is not None:
             return int(params["niter"])
-        # diameter-proportional default (~200 at the canonical 30 px)
-        return max(50, int(round(200 * params["diameter"] / 30.0)))
+        # flow dynamics run in the rescaled space where cells sit at the
+        # canonical ~30 px diameter, so the canonical 200 steps suffice for
+        # any requested diameter
+        return 200
 
     def segment(
         self,
@@ -278,7 +316,9 @@ class SegmentationModel:
             cell_diameter_px, flow_threshold, cellprob_threshold, num_iterations, batch_size
         )
         try:
-            image, (h, w) = self._prepare_image(np.asarray(intensities))
+            image, (h, w), (hs, ws) = self._prepare_image(
+                np.asarray(intensities), self._rescale_factor(resolved)
+            )
             labels = _segment_program(
                 self.network,
                 image,
@@ -288,7 +328,8 @@ class SegmentationModel:
                 self.max_cells,
                 self.min_size,
             )
-            return np.asarray(labels[:h, :w]).astype(np.int64)
+            labels_np = np.asarray(labels[:hs, :ws])
+            return self._upscale_labels(labels_np, (h, w)).astype(np.int64)
         except ValueError:
             raise
         except Exception as e:  # noqa: BLE001 - mirrors reference error wrapping
@@ -337,17 +378,22 @@ class SegmentationModel:
             )
 
         # host prep first; group same-padded-shape images into device batches
-        prepared: dict[tuple[int, int], list[tuple[int, Any, tuple[int, int]]]] = {}
+        scale = self._rescale_factor(resolved)
+        prepared: dict[tuple[int, int], list] = {}
         for i, intensities in enumerate(intensities_batch):
             try:
-                image, (h, w) = self._prepare_image(np.asarray(intensities))
-                prepared.setdefault(tuple(image.shape[:2]), []).append((i, image, (h, w)))
+                image, (h, w), (hs, ws) = self._prepare_image(
+                    np.asarray(intensities), scale
+                )
+                prepared.setdefault(tuple(image.shape[:2]), []).append(
+                    (i, image, (h, w), (hs, ws))
+                )
             except Exception as e:  # noqa: BLE001
                 fail(i, e)
                 if progress is not None:
                     progress.update(1)
 
-        def run_single(i, image, hw):
+        def run_single(i, image, hw, hws):
             try:
                 labels = _segment_program(
                     self.network,
@@ -358,8 +404,10 @@ class SegmentationModel:
                     self.max_cells,
                     self.min_size,
                 )
-                h, w = hw
-                masks[i] = np.asarray(labels[:h, :w]).astype(np.int64)
+                hs, ws = hws
+                masks[i] = self._upscale_labels(
+                    np.asarray(labels[:hs, :ws]), hw
+                ).astype(np.int64)
             except Exception as e:  # noqa: BLE001
                 fail(i, e)
 
@@ -367,7 +415,7 @@ class SegmentationModel:
             for start in range(0, len(group), bs):
                 chunk = group[start : start + bs]
                 stack = jnp.stack(
-                    [img for _, img, _ in chunk]
+                    [img for _, img, _, _ in chunk]
                     + [chunk[-1][1]] * (bs - len(chunk))
                 )
                 try:
@@ -381,13 +429,15 @@ class SegmentationModel:
                         self.min_size,
                     )
                     labels_h = np.asarray(labels)
-                    for k, (i, _, (h, w)) in enumerate(chunk):
-                        masks[i] = labels_h[k, :h, :w].astype(np.int64)
+                    for k, (i, _, hw, (hs, ws)) in enumerate(chunk):
+                        masks[i] = self._upscale_labels(
+                            labels_h[k, :hs, :ws], hw
+                        ).astype(np.int64)
                 except Exception as e:  # noqa: BLE001
                     # isolate: retry images of the failed batch one by one
                     logger.debug(f"Batched dispatch failed ({e}); isolating per image")
-                    for i, img, hw in chunk:
-                        run_single(i, img, hw)
+                    for i, img, hw, hws in chunk:
+                        run_single(i, img, hw, hws)
                 if progress is not None:
                     progress.update(len(chunk))
 

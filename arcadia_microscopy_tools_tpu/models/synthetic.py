@@ -36,6 +36,8 @@ def synthesize_cells(
     invert: bool = False,
     blur_sigma: float = 0.0,
     shot_noise: float = 0.0,
+    membrane_only: float = 0.0,
+    edge_cells: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Generate one synthetic image and its label mask.
 
@@ -54,6 +56,17 @@ def synthesize_cells(
             before noise (optical defocus / diffraction).
         shot_noise: Poisson shot-noise strength; 0 disables. Emulates photon
             statistics at an effective full-well of ~(1/shot_noise)^2 counts.
+        edge_cells: Allow cell centers near (even slightly beyond) the frame
+            border, producing partially-clipped cells - real fields of view
+            always cut cells at the edge; training only on fully-interior
+            cells makes the net ignore them.
+        membrane_only: 0 (default) = filled cells; 1 = pure membrane stain -
+            only the cell BOUNDARY is bright and interiors sit at background
+            (confluent epithelium labeled at the membrane, e.g. the
+            example-zstack.nd2 golden fixture). Intermediate values blend.
+            Intensity-thresholding such images segments the membrane
+            skeleton, not the cells; the flow path must learn to fill the
+            enclosed regions.
 
     Returns:
         (image float32 (H, W) in [0, 1], labels int32 (H, W)).
@@ -69,8 +82,12 @@ def synthesize_cells(
     while placed < n_cells and attempts < n_cells * 30:
         attempts += 1
         r = rng.uniform(*radius_range)
-        cy = rng.uniform(r + 2, h - r - 2)
-        cx = rng.uniform(r + 2, w - r - 2)
+        if edge_cells:
+            cy = rng.uniform(-0.3 * r, h + 0.3 * r)
+            cx = rng.uniform(-0.3 * r, w + 0.3 * r)
+        else:
+            cy = rng.uniform(r + 2, h - r - 2)
+            cx = rng.uniform(r + 2, w - r - 2)
         if any(
             (cy - oy) ** 2 + (cx - ox) ** 2 < (separation * (r + orr)) ** 2
             for oy, ox, orr in centers
@@ -88,8 +105,11 @@ def synthesize_cells(
         new = inside & (labels == 0)
         placed += 1
         labels[new] = placed
-        # graded interior + bright rim
-        shade = 0.55 + 0.25 * np.exp(-3 * d) + 0.3 * np.exp(-((1 - d) * 4) ** 2)
+        # graded interior + bright rim; membrane_only fades the interior
+        # out and boosts the rim (pure membrane stain at 1.0)
+        interior = 0.55 + 0.25 * np.exp(-3 * d)
+        rim = 0.3 * np.exp(-((1 - d) * 4) ** 2)
+        shade = (1.0 - membrane_only) * interior + rim * (1.0 + 1.5 * membrane_only)
         profile = np.where(inside, shade, 0.0)
         image = np.where(new, profile, image)
 

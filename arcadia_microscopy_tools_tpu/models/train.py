@@ -49,12 +49,17 @@ def make_batch(rng: np.random.Generator, batch: int, size: int):
     for i in range(batch):
         r_lo = float(rng.uniform(3.0, 9.0))
         r_hi = r_lo * float(rng.uniform(1.3, 2.6))
+        membrane = rng.random() < 0.2
         img, lbl = synthesize_cells(
             rng,
             (size, size),
             n_cells=int(rng.integers(8, 28)),
             radius_range=(r_lo, r_hi),
-            separation=float(rng.uniform(0.55, 1.0)),
+            # membrane-stained tissue is confluent: cells share walls, so
+            # sample tighter packing for that modality
+            separation=float(
+                rng.uniform(0.45, 0.8) if membrane else rng.uniform(0.55, 1.0)
+            ),
             gradient=float(rng.uniform(0.0, 0.25)),
             noise=float(rng.uniform(0.01, 0.09)),
             cell_contrast=float(rng.uniform(0.12, 1.0)),
@@ -62,6 +67,12 @@ def make_batch(rng: np.random.Generator, batch: int, size: int):
             invert=bool(rng.random() < 0.25),
             blur_sigma=float(rng.uniform(0.0, 1.6)),
             shot_noise=float(rng.uniform(0.0, 0.06)),
+            # membrane-stain modality (confluent epithelium labeled at the
+            # boundary, e.g. the example-zstack golden fixture): interiors
+            # at background, only the rim bright
+            membrane_only=float(rng.uniform(0.7, 1.0)) if membrane else 0.0,
+            # half of all fields clip cells at the border, as real FOVs do
+            edge_cells=bool(rng.random() < 0.5),
         )
         # the inference-time normalization (percentile 1-99 contrast stretch)
         p1, p99 = np.percentile(img, [1.0, 99.0])

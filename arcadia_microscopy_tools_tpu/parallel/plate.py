@@ -211,7 +211,16 @@ def _build_well_program(
         return mask
 
     def unet_mask(seg_img):
-        from ..models.flows import compute_masks
+        """U-Net labels + capacity-ok flag for one well's segmentation frame.
+
+        Flow integration runs on the active-pixel-compacted graph
+        (models/flows.compute_masks_sparse) - the dense doubling's
+        full-image gathers were the 2048^2 deep-path bottleneck. A well
+        whose foreground exceeds the cap reports ok=False, which the runner
+        maps to the same capacity-escalation redispatch as the classical
+        path's compaction overflow.
+        """
+        from ..models.flows import compute_masks_sparse
         from ..models.unet import apply_unet
 
         x = seg_img.astype(jnp.float32)
@@ -220,8 +229,14 @@ def _build_well_program(
         xn = jnp.clip((x - p1) / jnp.maximum(p99 - p1, 1e-6), 0.0, 1.0)
         net_in = jnp.stack([xn, xn, xn], axis=-1)[None]
         out = apply_unet(unet_params, net_in)[0]
-        return compute_masks(
+        h, w = seg_img.shape
+        # active-pixel cap for the sparse flow integration: same sizing as
+        # the classical path's foreground-compaction capacity
+        cap = max(1, int(h * w * config.fg_cap_fraction))
+        cap = min(-(-cap // 8192) * 8192, h * w)
+        return compute_masks_sparse(
             out,
+            cap,
             cellprob_threshold=config.cellprob_threshold,
             flow_threshold=config.flow_threshold,
             niter=config.niter,
@@ -257,7 +272,7 @@ def _build_well_program(
                 "converged": converged,
             }
         elif config.method == "unet":
-            lbl = unet_mask(seg_img)
+            lbl, flow_ok = unet_mask(seg_img)
             if config.remove_edge_cells:
                 lbl = clear_border(lbl)
             props = measure_labels(lbl, max_cells=config.max_cells)
@@ -265,7 +280,9 @@ def _build_well_program(
             stats = dict(stats_raw)
             health = {
                 "num_components": jnp.max(lbl),
-                "fg_overflow": jnp.bool_(False),
+                # sparse flow-integration cap exceeded -> same escalation
+                # path as the classical compaction overflow
+                "fg_overflow": ~flow_ok,
                 "converged": jnp.bool_(True),
             }
         else:

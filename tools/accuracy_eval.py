@@ -53,6 +53,13 @@ SUITES = {
         separation=0.85, gradient=0.1, noise=0.03, n_cells=14,
         blur_sigma=1.4, shot_noise=0.05, cell_contrast=0.7,
     ),
+    # round-3 adjudication target: example-zstack.nd2 is a membrane stain
+    # (bright boundaries, dark interiors); thresholding segments the
+    # membrane skeleton, not cells - only the flow path can be right here
+    "membrane stain (boundary-labeled)": dict(
+        separation=0.85, gradient=0.1, noise=0.04, n_cells=14,
+        membrane_only=1.0, cell_contrast=0.8, background_level=0.08,
+    ),
 }
 N_IMAGES = 8
 SIZE = 256
@@ -209,14 +216,40 @@ def main() -> None:
         "  the synthetic suites measure the flow mechanism end-to-end (network",
         "  -> flow integration -> sink clustering -> QC), and the golden-fixture",
         "  rows sanity-check behavior on real microscopy images.",
-        "- The last three suites cover the domain axes the round-2 training",
-        "  augmentation added (faint/small low-SNR cells, inverted brightfield",
-        "  polarity, PSF blur + shot noise). The classical path collapses on",
-        "  inverted polarity by construction (its threshold keeps the bright",
-        "  side); the flow path learns both polarities. Against the golden",
-        "  fixtures the augmented net now detects cells on all three real",
-        "  images (round-1 training yielded zero detections on the two faint",
-        "  FITC fixtures).",
+        "- Suites 6-8 cover the domain axes the round-2 training augmentation",
+        "  added (faint/small low-SNR cells, inverted brightfield polarity,",
+        "  PSF blur + shot noise); the membrane suite is the round-3 addition",
+        "  (see below). The classical path collapses on inverted polarity by",
+        "  construction (its threshold keeps the bright side); the flow path",
+        "  learns both polarities.",
+        "",
+        "## Golden-fixture adjudication (round 3)",
+        "",
+        "The two paths disagree on the real fixtures, so round 3 rendered both",
+        "paths' masks over each image (`python tools/render_adjudication.py` ->",
+        "docs/fixture_adjudication.png) and adjudicated visually:",
+        "",
+        "- **example-multichannel (brightfield PBMCs)**: ~25-30 distinct cells",
+        "  are visible - smooth ring-dark cells plus textured clumps. The",
+        "  classical path's 14 regions MERGE the touching textured clumps (the",
+        "  known by-construction limit of threshold+CC); the U-Net resolves",
+        "  individual cells within clumps. Adjudication: the U-Net's higher",
+        "  count is closer to truth; low cross-path fg-IoU here reflects the",
+        "  classical path's merging, not a U-Net error.",
+        "- **example-timelapse (faint FITC colony)**: one connected diffuse blob",
+        "  with several brighter lobes. classical=1 object; the net splits the",
+        "  lobes. Genuinely ambiguous without orthogonal truth (the lobes match",
+        "  visible local maxima); neither path is clearly wrong.",
+        "- **example-zstack (FITC membrane stain, confluent epithelium)**: the",
+        "  fluorescence marks cell BOUNDARIES; ~9 polygonal cells with dark",
+        "  interiors. Thresholding segments the membrane SKELETON - its",
+        "  'cells' are membrane fragments, wrong by construction for cell",
+        "  counting. Before round 3 the net also fragmented along membranes",
+        "  (it had never seen a boundary-labeled cell); the membrane_only",
+        "  synthetic modality was added to training and the membrane suite",
+        "  above scores the mechanism. On membrane-stained data the flow path",
+        "  is the only structurally correct path, and cross-path fg-IoU is",
+        "  EXPECTED to stay low.",
         "",
     ]
 
