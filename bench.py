@@ -347,9 +347,15 @@ def main() -> None:
     n_chips = max(1, len([d for d in jax.devices() if d.platform != "cpu"]))
     per_chip = rate / n_chips
 
-    # secondary metric first: the decode-inclusive end-to-end number (real
-    # ND2 files on disk, prefetch-pipelined); the headline line prints LAST
-    # so single-line consumers read the primary metric
+    # secondary metrics first (the headline line prints LAST so single-line
+    # consumers read the primary metric): the deep-path plate program at the
+    # same 2048^2 shape, then the decode-inclusive end-to-end number (real
+    # ND2 files on disk, prefetch-pipelined)
+    if os.environ.get("BENCH_SKIP_UNET", "") != "1":
+        try:
+            _bench_unet_plate(wells[: min(2, B)], max(2, reps // 2))
+        except Exception as e:  # noqa: BLE001 - secondary metric must not kill the run
+            print(f"U-Net plate bench skipped: {e}", file=sys.stderr)
     if os.environ.get("BENCH_SKIP_DECODE", "") != "1":
         try:
             _bench_decode_inclusive(int(os.environ.get("BENCH_WELLS", "16")), H)

@@ -187,6 +187,13 @@ def main() -> None:
     ]
     from arcadia_microscopy_tools_tpu import MicroscopyImage
 
+    # Cellpose semantics: the caller supplies the expected cell diameter and
+    # the model rescales to its canonical training scale. The zstack
+    # fixture's confluent epithelial cells are ~60-80 px across (measured
+    # from the adjudication overlay); the other fixtures sit near the
+    # canonical 30.
+    fixture_diameters = {"example-zstack.nd2": 70.0}
+
     for nd2_path in sorted(GOLDEN.glob("*.nd2")):
         image = MicroscopyImage.from_nd2_path(nd2_path)
         channel = image.channels[0]
@@ -195,7 +202,10 @@ def main() -> None:
             frame = frame[frame.shape[0] // 2]  # middle frame/plane
         img01 = frame.astype(np.float64) / max(float(frame.max()), 1.0)
         classical = classical_segment(img01)
-        unet = model.segment(frame.astype(np.float64))
+        unet = model.segment(
+            frame.astype(np.float64),
+            cell_diameter_px=fixture_diameters.get(nd2_path.name),
+        )
         a, b = classical > 0, np.asarray(unet) > 0
         agreement = (a & b).sum() / max((a | b).sum(), 1)
         lines.append(
@@ -246,10 +256,14 @@ def main() -> None:
         "  'cells' are membrane fragments, wrong by construction for cell",
         "  counting. Before round 3 the net also fragmented along membranes",
         "  (it had never seen a boundary-labeled cell); the membrane_only",
-        "  synthetic modality was added to training and the membrane suite",
-        "  above scores the mechanism. On membrane-stained data the flow path",
-        "  is the only structurally correct path, and cross-path fg-IoU is",
-        "  EXPECTED to stay low.",
+        "  synthetic modality (confluent packing, edge-clipped cells) was",
+        "  added to training and the membrane suite above scores the",
+        "  mechanism. With the Cellpose-style diameter rescaling added in",
+        "  round 3 (these cells are ~70 px across, the table passes that",
+        "  diameter), the net now fills the enclosed polygonal cells instead",
+        "  of fragmenting the membranes. On membrane-stained data the flow",
+        "  path is the only structurally correct path, and cross-path fg-IoU",
+        "  is EXPECTED to stay low.",
         "",
     ]
 

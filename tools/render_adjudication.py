@@ -23,10 +23,12 @@ from arcadia_microscopy_tools_tpu.operations import (
 )
 from arcadia_microscopy_tools_tpu.ops.labeling import label
 
+# (file, channel, cell_diameter_px for the U-Net path - Cellpose semantics;
+# the zstack's confluent epithelial cells are ~70 px across)
 FIXTURES = [
-    ("example-multichannel.nd2", "BRIGHTFIELD"),
-    ("example-timelapse.nd2", "FITC"),
-    ("example-zstack.nd2", "FITC"),
+    ("example-multichannel.nd2", "BRIGHTFIELD", None),
+    ("example-timelapse.nd2", "FITC", None),
+    ("example-zstack.nd2", "FITC", 70.0),
 ]
 REPO = __import__("pathlib").Path(__file__).resolve().parent.parent
 DATA = str(REPO / "tests" / "data")
@@ -34,7 +36,7 @@ DATA = str(REPO / "tests" / "data")
 model = SegmentationModel(checkpoint_path=REPO / "checkpoints" / "unet")
 
 fig, axes = plt.subplots(3, 3, figsize=(13, 13))
-for row, (name, ch) in enumerate(FIXTURES):
+for row, (name, ch, diam) in enumerate(FIXTURES):
     img = MicroscopyImage.from_nd2_path(f"{DATA}/{name}")
     inten = img.get_channel_intensities(ch)
     while inten.ndim > 2:
@@ -46,7 +48,7 @@ for row, (name, ch) in enumerate(FIXTURES):
     q = (np.asarray(x) * 65535).astype(np.uint16)
     classical = np.asarray(label(np.asarray(apply_threshold(q, "otsu"))))
 
-    unet = np.asarray(model.segment(inten))
+    unet = np.asarray(model.segment(inten, cell_diameter_px=diam))
 
     lo, hi = np.percentile(inten, (1, 99.5))
     disp = np.clip((inten.astype(float) - lo) / max(hi - lo, 1), 0, 1)
