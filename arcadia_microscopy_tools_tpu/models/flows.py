@@ -137,29 +137,15 @@ def follow_flows_indices(
     return nxt.reshape(h, w)
 
 
-@partial(jax.jit, static_argnames=("niter", "cap"))
-def follow_flows_indices_sparse(
-    flows: jax.Array,  # (H, W, 2) - [dY, dX] unit flows toward cell centers
-    active: jax.Array,  # (H, W) bool
-    niter: int = 200,
-    cap: int = 65536,
-) -> tuple[jax.Array, jax.Array]:
-    """`follow_flows_indices` restricted to the active pixel set.
+def _follow_sparse_core(
+    flows: jax.Array, active: jax.Array, niter: int, cap: int
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Compact-domain flow integration shared by the sparse entry points.
 
-    The dense pointer-doubling composes the FULL 4M-entry successor map per
-    round (~8 full-image gathers, the 2048^2 deep-path bottleneck); cells
-    typically cover a few percent of a well, so this variant compacts the
-    active pixels to a static `cap`-sized list and doubles the successor
-    permutation inside that compact domain - every round is a cap-sized
-    gather (ROADMAP round-2 candidate 3). A landing pixel outside the
-    active set (flows can step onto background at mask borders) becomes a
-    fixpoint, exactly like the dense variant's inactive self-loops.
-
-    Returns:
-        (landing, ok): landing is the (H, W) int32 flat landing-index image
-        (inactive pixels map to themselves); `ok` is False when the active
-        count exceeded `cap`, in which case the result only advected the
-        first `cap` pixels and the caller must fall back to the dense path.
+    Returns (idx, valid, landing_compact, ok): `idx` is the (cap,) flat index
+    of each compacted active pixel (n on padding slots), `landing_compact`
+    its (cap,) flat landing index after >= `niter` advection steps, `ok`
+    False when the active count exceeded `cap`.
     """
     h, w = active.shape
     n = h * w
@@ -203,8 +189,39 @@ def follow_flows_indices_sparse(
     _, comp_final, _ = lax.while_loop(
         cond, body, (jnp.int32(0), comp_next, jnp.bool_(True))
     )
-    # back to flat image indices; non-active pixels land on themselves
     landing_compact = idx_safe[comp_final]
+    return idx, valid, landing_compact, ok
+
+
+@partial(jax.jit, static_argnames=("niter", "cap"))
+def follow_flows_indices_sparse(
+    flows: jax.Array,  # (H, W, 2) - [dY, dX] unit flows toward cell centers
+    active: jax.Array,  # (H, W) bool
+    niter: int = 200,
+    cap: int = 65536,
+) -> tuple[jax.Array, jax.Array]:
+    """`follow_flows_indices` restricted to the active pixel set.
+
+    The dense pointer-doubling composes the FULL 4M-entry successor map per
+    round (~8 full-image gathers, the 2048^2 deep-path bottleneck); cells
+    typically cover a few percent of a well, so this variant compacts the
+    active pixels to a static `cap`-sized list and doubles the successor
+    permutation inside that compact domain - every round is a cap-sized
+    gather (ROADMAP round-2 candidate 3). A landing pixel outside the
+    active set (flows can step onto background at mask borders) becomes a
+    fixpoint, exactly like the dense variant's inactive self-loops.
+
+    Returns:
+        (landing, ok): landing is the (H, W) int32 flat landing-index image
+        (inactive pixels map to themselves); `ok` is False when the active
+        count exceeded `cap`, in which case the result only advected the
+        first `cap` pixels and the caller must fall back to the dense path.
+    """
+    h, w = active.shape
+    n = h * w
+    idx, valid, landing_compact, ok = _follow_sparse_core(flows, active, niter, cap)
+    idx_safe = jnp.where(valid, idx, 0)
+    own = jnp.arange(n, dtype=jnp.int32)
     landing = own.at[idx_safe].set(
         jnp.where(valid, landing_compact, idx_safe), mode="drop"
     )
@@ -310,6 +327,189 @@ def masks_from_landing(
     return labels
 
 
+def _cluster_landings_compact(
+    idx: jax.Array,  # (cap,) flat indices of active pixels (n on padding)
+    valid: jax.Array,  # (cap,) bool
+    landing_compact: jax.Array,  # (cap,) flat landing index per active pixel
+    h: int,
+    w: int,
+    sink_count: int,
+    sink_cap: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Sink clustering in the compact domain: labels per compacted pixel.
+
+    Produces EXACTLY `masks_from_landing(min_size=0)`'s labels without any
+    full-image scatter-add / CC / remap (47 + 53 + 42 ms at 2048^2 on v5e):
+
+    - arrival counts come from one cap-sized sort (run lengths in sorted
+      order), not a 4M scatter-add;
+    - the dense path's dilate-by-1 + 8-connected CC partition over sink
+      pixels equals connecting sinks within Chebyshev distance 3, so a
+      union-find over the (at most `sink_cap`) sink pixels with a 48-offset
+      adjacency replaces the full-image labeler. Cluster numbering matches
+      the dense CC scan order because a cluster's first dilated pixel is
+      min over its sinks of the clamped top-left corner (distinct clusters
+      always have distinct such keys: equal keys would imply Chebyshev
+      distance <= 2, i.e. the same cluster);
+    - per-pixel assignment gathers ONE composite image (direct sink label,
+      else 3x3 max) at cap landing positions only.
+
+    Returns (lab_c, sink_overflow): (cap,) int32 labels (0 = unlabeled) and
+    a bool set when distinct sink pixels exceeded `sink_cap` (labels are
+    then incomplete and the caller must escalate capacity).
+    """
+    n = h * w
+    cap = idx.shape[0]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+
+    land_key = jnp.where(valid, landing_compact, n)
+    ls, _ = lax.sort((land_key, iota), num_keys=1)
+
+    edge = jnp.ones((1,), bool)
+    is_new = jnp.concatenate([edge, ls[1:] != ls[:-1]])
+    is_last = jnp.concatenate([ls[1:] != ls[:-1], edge])
+    first_idx = lax.cummax(jnp.where(is_new, iota, 0))
+    last_idx = cap - 1 - lax.cummax(jnp.where(is_last[::-1], iota, 0))[::-1]
+    count = last_idx - first_idx + 1
+
+    sink_run = is_new & (count >= sink_count) & (ls < n)
+    rank = jnp.cumsum(sink_run.astype(jnp.int32))  # 1-based at sink starts
+    n_sinks = rank[-1]
+    sink_overflow = n_sinks > sink_cap
+
+    # ascending sink positions, n on padding slots (searchsorted-ready)
+    sink_pos = (
+        jnp.full((sink_cap,), n, jnp.int32)
+        .at[jnp.where(sink_run, rank - 1, sink_cap)]
+        .set(ls, mode="drop")
+    )
+    sy = sink_pos // w
+    sx = sink_pos % w
+    real = sink_pos < n
+    iota_s = jnp.arange(sink_cap, dtype=jnp.int32)
+
+    # 48-offset adjacency (Chebyshev <= 3) via ONE stacked searchsorted
+    offsets = [
+        (dy, dx)
+        for dy in range(-3, 4)
+        for dx in range(-3, 4)
+        if not (dy == 0 and dx == 0)
+    ]
+    qs = []
+    for dy, dx in offsets:
+        in_b = real & (sy + dy >= 0) & (sy + dy < h) & (sx + dx >= 0) & (sx + dx < w)
+        qs.append(jnp.where(in_b, sink_pos + dy * w + dx, n))
+    queries = jnp.stack(qs)  # (48, sink_cap)
+    j = jnp.clip(jnp.searchsorted(sink_pos, queries), 0, sink_cap - 1).astype(
+        jnp.int32
+    )
+    hit = (sink_pos[j] == queries) & (queries < n)
+    nbr = jnp.where(hit, j, iota_s[None, :])  # neighbor index or self
+
+    # union-find by min-index propagation + pointer jumping (tiny arrays;
+    # O(log) rounds regardless of cluster shape)
+    def uf_body(state):
+        rep, _ = state
+        new = jnp.minimum(rep, jnp.min(rep[nbr], axis=0))
+        new = new[new]
+        return new, jnp.any(new != rep)
+
+    rep, _ = lax.while_loop(lambda s: s[1], uf_body, (iota_s, jnp.bool_(True)))
+
+    # cluster order key: min over sinks of the clamped dilated top-left
+    tl = jnp.where(real, jnp.maximum(sy - 1, 0) * w + jnp.maximum(sx - 1, 0), n)
+    key_root = jnp.full((sink_cap,), n, jnp.int32).at[rep].min(tl, mode="drop")
+    is_root = (rep == iota_s) & real
+    root_key = jnp.where(is_root, key_root, n)
+    order_key, root_ids = lax.sort((root_key, iota_s), num_keys=1)
+    root_label = (
+        jnp.zeros((sink_cap,), jnp.int32)
+        .at[root_ids]
+        .set(jnp.where(order_key < n, iota_s + 1, 0))
+    )
+    lab_sink = jnp.where(real, root_label[rep], 0)
+
+    # composite image: direct label on sinks, else 3x3 neighborhood max;
+    # ONE cap-sized gather assigns every active pixel
+    sink_label_img = (
+        jnp.zeros((n,), jnp.int32)
+        .at[jnp.where(real, sink_pos, n)]
+        .set(lab_sink, mode="drop")
+        .reshape(h, w)
+    )
+    mop = sink_label_img
+    pad = jnp.pad(sink_label_img, 1)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            mop = jnp.maximum(mop, lax.dynamic_slice(pad, (1 + dy, 1 + dx), (h, w)))
+    composite = jnp.where(sink_label_img > 0, sink_label_img, mop).ravel()
+    lab_c = jnp.where(valid, composite[jnp.where(valid, landing_compact, 0)], 0)
+    return lab_c, sink_overflow
+
+
+def _finish_masks_compact(
+    idx: jax.Array,
+    valid: jax.Array,
+    landing_compact: jax.Array,
+    flows: jax.Array,
+    h: int,
+    w: int,
+    flow_threshold: float,
+    max_cells: int,
+    min_size: int,
+    sink_count: int = 3,
+    sink_cap: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Compact-domain twin of `_finish_masks`: size filter, flow-error QC and
+    sequential renumbering all run on (cap,)-sized arrays; the label image is
+    materialized by cap-sized scatters only (once for the QC diffusion, once
+    for the result). Bit-identical to the dense tail (equivalence-tested).
+
+    Returns (labels image, sink_overflow)."""
+    if sink_cap is None:
+        sink_cap = max(1024, 16 * max_cells)
+    n = h * w
+    lab_c, sink_overflow = _cluster_landings_compact(
+        idx, valid, landing_compact, h, w, sink_count, sink_cap
+    )
+
+    # size filter + sequential renumber (ascending old labels, matching
+    # relabel_sequential_filtered): per-label pixel counts via a small-table
+    # scatter-add with cap updates
+    sizes = jnp.zeros((sink_cap + 1,), jnp.int32).at[lab_c].add(
+        valid.astype(jnp.int32)
+    )
+    ids = jnp.arange(sink_cap + 1, dtype=jnp.int32)
+    keep = (ids > 0) & (sizes > 0) & (sizes >= min_size)
+    mapping = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)), 0)
+    lab_c = mapping[lab_c]
+
+    idx_safe = jnp.where(valid, idx, n)
+    labels = (
+        jnp.zeros((n,), jnp.int32).at[idx_safe].set(lab_c, mode="drop").reshape(h, w)
+    )
+
+    if flow_threshold > 0:
+        errors = flow_error(labels, flows, max_cells)
+        bad = errors > flow_threshold
+        bad_lut = jnp.concatenate([jnp.array([False]), bad])
+        # present labels are contiguous 1..K after the first renumber, so a
+        # cumsum over per-id keep flags reproduces relabel_sequential exactly
+        keep2 = ~bad_lut[jnp.clip(ids, 0, max_cells)] & (ids > 0)
+        mapping2 = jnp.where(keep2, jnp.cumsum(keep2.astype(jnp.int32)), 0)
+        lab_c = mapping2[lab_c]
+        labels = (
+            jnp.zeros((n,), jnp.int32)
+            .at[idx_safe]
+            .set(lab_c, mode="drop")
+            .reshape(h, w)
+        )
+
+    return labels, sink_overflow
+
+
 @partial(jax.jit, static_argnames=("max_cells", "n_iter"))
 def masks_to_flows(
     labels: jax.Array, max_cells: int, n_iter: int = 128
@@ -356,18 +556,22 @@ def masks_to_flows(
     is_center = candidate & (idx == center_of[seg])
     source = is_center.reshape(h, w).astype(jnp.float32)
 
-    # heat diffusion restricted to same-label neighbors
+    # heat diffusion restricted to same-label neighbors. The same-label
+    # masks are loop-invariant: hoisting them saves 4 int32 image reads +
+    # compares per iteration (~40% of the 128-iteration loop's traffic).
     lbl_pad = jnp.pad(lbl, 1, constant_values=-1)
-
-    def same(nbr_T, dy, dx):
-        nbr_lbl = lax.dynamic_slice(lbl_pad, (1 + dy, 1 + dx), (h, w))
-        return jnp.where(nbr_lbl == lbl, nbr_T, 0.0)
+    _DIFF_OFFS = ((-1, 0), (1, 0), (0, -1), (0, 1))
+    same_nbr = {
+        (dy, dx): lax.dynamic_slice(lbl_pad, (1 + dy, 1 + dx), (h, w)) == lbl
+        for dy, dx in _DIFF_OFFS
+    }
 
     def diffuse(_, T):
         Tp = jnp.pad(T, 1)
         acc = T
-        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-            acc = acc + same(lax.dynamic_slice(Tp, (1 + dy, 1 + dx), (h, w)), dy, dx)
+        for dy, dx in _DIFF_OFFS:
+            shifted = lax.dynamic_slice(Tp, (1 + dy, 1 + dx), (h, w))
+            acc = acc + jnp.where(same_nbr[(dy, dx)], shifted, 0.0)
         T_new = acc / 5.0 + source
         return jnp.where(fg, T_new, 0.0)
 
@@ -379,8 +583,7 @@ def masks_to_flows(
 
     def nbr(dy, dx):
         v = lax.dynamic_slice(Tp, (1 + dy, 1 + dx), (h, w))
-        nbr_lbl = lax.dynamic_slice(lbl_pad, (1 + dy, 1 + dx), (h, w))
-        return jnp.where(nbr_lbl == lbl, v, T)
+        return jnp.where(same_nbr[(dy, dx)], v, T)
 
     gy = (nbr(1, 0) - nbr(-1, 0)) / 2.0
     gx = (nbr(0, 1) - nbr(0, -1)) / 2.0
@@ -483,9 +686,12 @@ def compute_masks_sparse(
     flows = network_output[..., :2] / 5.0
     cellprob = network_output[..., 2]
     active = cellprob > cellprob_threshold
-    landing, ok = follow_flows_indices_sparse(flows, active, niter=niter, cap=cap)
-    labels = _finish_masks(landing, active, flows, flow_threshold, max_cells, min_size)
-    return labels, ok
+    h, w = active.shape
+    idx, valid, landing_compact, ok = _follow_sparse_core(flows, active, niter, cap)
+    labels, sink_ovf = _finish_masks_compact(
+        idx, valid, landing_compact, flows, h, w, flow_threshold, max_cells, min_size
+    )
+    return labels, ok & ~sink_ovf
 
 
 def _finish_masks(landing, active, flows, flow_threshold, max_cells, min_size):

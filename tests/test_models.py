@@ -289,3 +289,98 @@ class TestSparseFlowIntegration:
         assert bool(ok)
         np.testing.assert_array_equal(dense, np.asarray(sparse))
         assert dense.max() == lbl.max()
+
+    def test_compute_masks_sparse_equals_dense_with_qc(self, rng):
+        """QC path (flow_threshold > 0): the compact renumber after the
+        flow-error filter must match the dense relabel_sequential exactly."""
+        from arcadia_microscopy_tools_tpu.models.flows import (
+            compute_masks,
+            compute_masks_sparse,
+            masks_to_flows,
+        )
+
+        img, lbl = synthesize_cells(rng, (96, 96), n_cells=6)
+        flows, fg = masks_to_flows(jnp.asarray(lbl), 64)
+        # corrupt the flows inside one cell so its flow error trips QC
+        bad_region = jnp.asarray(lbl == 2)[..., None]
+        flows = jnp.where(bad_region, -flows, flows)
+        net_out = jnp.concatenate(
+            [5.0 * flows, jnp.where(fg > 0, 4.0, -4.0)[..., None]], axis=-1
+        )
+        dense = np.asarray(compute_masks(net_out, flow_threshold=0.4, niter=200))
+        sparse, ok = compute_masks_sparse(net_out, 8192, flow_threshold=0.4, niter=200)
+        assert bool(ok)
+        np.testing.assert_array_equal(dense, np.asarray(sparse))
+
+    def test_compute_masks_sparse_equals_dense_border_cells(self, rng):
+        """Cells clipped by every image border: sink clusters whose dilated
+        top-left corner clamps at row/col 0 exercise the compact tail's
+        cluster-ordering key (must still match the dense CC scan order)."""
+        from arcadia_microscopy_tools_tpu.models.flows import (
+            compute_masks,
+            compute_masks_sparse,
+            masks_to_flows,
+        )
+
+        size = 80
+        lbl = np.zeros((size, size), np.int32)
+        yy, xx = np.mgrid[0:size, 0:size]
+        # centers ON the borders and corners so sinks land at y=0 / x=0 rows
+        centers = [(0, 0), (0, 40), (0, 79), (40, 0), (79, 20), (79, 79), (38, 41)]
+        for k, (cy, cx) in enumerate(centers, start=1):
+            m = (yy - cy) ** 2 + (xx - cx) ** 2 < 81
+            lbl[m & (lbl == 0)] = k
+        flows, fg = masks_to_flows(jnp.asarray(lbl), 64)
+        net_out = jnp.concatenate(
+            [5.0 * flows, jnp.where(fg > 0, 4.0, -4.0)[..., None]], axis=-1
+        )
+        dense = np.asarray(compute_masks(net_out, flow_threshold=0.0, niter=200))
+        sparse, ok = compute_masks_sparse(net_out, 8192, flow_threshold=0.0, niter=200)
+        assert bool(ok)
+        np.testing.assert_array_equal(dense, np.asarray(sparse))
+
+    def test_compute_masks_sparse_min_size_filter_matches(self, rng):
+        """min_size > 0: the compact per-label size filter must reproduce
+        relabel_sequential_filtered (drop small masks, renumber ascending)."""
+        from arcadia_microscopy_tools_tpu.models.flows import (
+            compute_masks,
+            compute_masks_sparse,
+            masks_to_flows,
+        )
+
+        img, lbl = synthesize_cells(rng, (96, 96), n_cells=8)
+        flows, fg = masks_to_flows(jnp.asarray(lbl), 64)
+        net_out = jnp.concatenate(
+            [5.0 * flows, jnp.where(fg > 0, 4.0, -4.0)[..., None]], axis=-1
+        )
+        # a min_size large enough to drop some cells but not all
+        areas = np.bincount(lbl.ravel())[1:]
+        min_size = int(np.median(areas))
+        dense = np.asarray(
+            compute_masks(net_out, flow_threshold=0.0, niter=200, min_size=min_size)
+        )
+        sparse, ok = compute_masks_sparse(
+            net_out, 8192, flow_threshold=0.0, niter=200, min_size=min_size
+        )
+        assert bool(ok)
+        np.testing.assert_array_equal(dense, np.asarray(sparse))
+        assert 0 < dense.max() < lbl.max()
+
+    def test_compute_masks_sparse_sink_overflow_flag(self, rng):
+        """A sink_cap far below the sink-pixel count must surface as ok=False
+        (the plate runner's capacity-escalation trigger), not silent loss."""
+        from arcadia_microscopy_tools_tpu.models.flows import (
+            _finish_masks_compact,
+            _follow_sparse_core,
+            masks_to_flows,
+        )
+
+        img, lbl = synthesize_cells(rng, (96, 96), n_cells=8)
+        flows, fg = masks_to_flows(jnp.asarray(lbl), 64)
+        active = jnp.asarray(np.asarray(fg) > 0)
+        idx, valid, landing, ok = _follow_sparse_core(flows, active, 200, 8192)
+        assert bool(ok)
+        _, overflow = _finish_masks_compact(
+            idx, valid, landing, flows, 96, 96, 0.0, 64, 0, sink_cap=2
+        )
+        assert bool(overflow)
