@@ -29,6 +29,7 @@ from typing import Any, Callable, Mapping
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 import pandas as pd
 
@@ -38,13 +39,9 @@ from ..exceptions import SegmentationWarning
 from ..ops.basic import rescale_by_percentile, subtract_background_dog
 from ..ops.compaction import compact_by_root
 from ..ops.fused import HIST_THRESHOLD_METHODS, fused_classical_mask
-from ..ops.labeling import clear_border, component_roots
+from ..ops.labeling import component_roots
 from ..ops.morphology import binary_opening, disk
-from ..ops.regionprops import (
-    measure_compacted,
-    measure_intensity_stack,
-    measure_labels,
-)
+from ..ops.regionprops import measure_compacted
 from ..ops.threshold import _GLOBAL_METHODS
 from .mesh import SPACE_AXIS, MeshConfig, create_mesh, well_sharding
 
@@ -211,30 +208,39 @@ def _build_well_program(
         return mask
 
     def unet_mask(seg_img):
-        """U-Net labels + capacity-ok flag for one well's segmentation frame.
+        """U-Net compact mask result for one well's segmentation frame.
 
         Flow integration runs on the active-pixel-compacted graph
-        (models/flows.compute_masks_sparse) - the dense doubling's
+        (models/flows.compute_masks_sparse_compact) - the dense doubling's
         full-image gathers were the 2048^2 deep-path bottleneck. A well
         whose foreground exceeds the cap reports ok=False, which the runner
         maps to the same capacity-escalation redispatch as the classical
         path's compaction overflow.
-        """
-        from ..models.flows import compute_masks_sparse
-        from ..models.unet import apply_unet
 
+        Normalization percentiles come from the exact integer-histogram
+        order statistics (ops/fused.py machinery) instead of a 4M-element
+        sort: seg_img is uint16, so the histogram reproduces np.percentile
+        bit-exactly at ~1/10 the cost.
+        """
+        from ..models.flows import compute_masks_sparse_compact
+        from ..models.unet import apply_unet
+        from ..ops.fused import _percentile_from_cum
+        from ..ops.stats import histogram_int
+
+        h, w = seg_img.shape
+        counts, _ = histogram_int(seg_img, 65536)
+        cum = jnp.cumsum(counts.astype(jnp.float32))
+        p1 = _percentile_from_cum(cum, 1.0, h * w)
+        p99 = _percentile_from_cum(cum, 99.0, h * w)
         x = seg_img.astype(jnp.float32)
-        p1 = jnp.percentile(x, 1.0)
-        p99 = jnp.percentile(x, 99.0)
         xn = jnp.clip((x - p1) / jnp.maximum(p99 - p1, 1e-6), 0.0, 1.0)
         net_in = jnp.stack([xn, xn, xn], axis=-1)[None]
         out = apply_unet(unet_params, net_in)[0]
-        h, w = seg_img.shape
         # active-pixel cap for the sparse flow integration: same sizing as
         # the classical path's foreground-compaction capacity
         cap = max(1, int(h * w * config.fg_cap_fraction))
         cap = min(-(-cap // 8192) * 8192, h * w)
-        return compute_masks_sparse(
+        return compute_masks_sparse_compact(
             out,
             cap,
             cellprob_threshold=config.cellprob_threshold,
@@ -242,6 +248,7 @@ def _build_well_program(
             niter=config.niter,
             max_cells=config.max_cells,
             min_size=config.min_size,
+            clear_border_labels=config.remove_edge_cells,
         )
 
     def well_fn(img):  # (C, H, W) uint16
@@ -272,17 +279,25 @@ def _build_well_program(
                 "converged": converged,
             }
         elif config.method == "unet":
-            lbl, flow_ok = unet_mask(seg_img)
-            if config.remove_edge_cells:
-                lbl = clear_border(lbl)
-            props = measure_labels(lbl, max_cells=config.max_cells)
-            stats_raw = measure_intensity_stack(lbl, stack, max_cells=config.max_cells)
-            stats = dict(stats_raw)
+            cm = unet_mask(seg_img)  # border filter folded into the tail
+            h, w = seg_img.shape
+            n = h * w
+            # segment-contiguous ordering for measure_compacted: sort the
+            # compact pixel set by (label, linear index) - one cap-sized
+            # 2-key sort instead of the ~390 ms full-image label scans of
+            # measure_labels + measure_intensity_stack at 2048^2 x 4ch
+            seg_key = jnp.where(cm.valid, cm.lab_c, 0)
+            idx_key = jnp.where(cm.valid, cm.idx, n)
+            seg_s, idx_s = lax.sort((seg_key, idx_key), num_keys=2)
+            roots_image = jnp.where(cm.labels > 0, cm.labels - 1, n)
+            props, stats = measure_compacted(
+                seg_s, idx_s, roots_image, stack, config.max_cells, w
+            )
             health = {
-                "num_components": jnp.max(lbl),
+                "num_components": jnp.max(seg_key),
                 # sparse flow-integration cap exceeded -> same escalation
                 # path as the classical compaction overflow
-                "fg_overflow": ~flow_ok,
+                "fg_overflow": ~cm.ok,
                 "converged": jnp.bool_(True),
             }
         else:

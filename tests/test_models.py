@@ -380,7 +380,46 @@ class TestSparseFlowIntegration:
         active = jnp.asarray(np.asarray(fg) > 0)
         idx, valid, landing, ok = _follow_sparse_core(flows, active, 200, 8192)
         assert bool(ok)
-        _, overflow = _finish_masks_compact(
+        _, _, overflow = _finish_masks_compact(
             idx, valid, landing, flows, 96, 96, 0.0, 64, 0, sink_cap=2
         )
         assert bool(overflow)
+
+    def test_compute_masks_sparse_compact_clear_border(self, rng):
+        """clear_border_labels=True must equal ops.labeling.clear_border
+        applied to the sparse labels (drop border-touching cells, keep ids),
+        and the compact lab_c must agree with the returned image."""
+        from arcadia_microscopy_tools_tpu.models.flows import (
+            compute_masks_sparse,
+            compute_masks_sparse_compact,
+            masks_to_flows,
+        )
+        from arcadia_microscopy_tools_tpu.ops.labeling import clear_border
+
+        size = 96
+        lbl = np.zeros((size, size), np.int32)
+        yy, xx = np.mgrid[0:size, 0:size]
+        # a mix of border-clipped and interior cells
+        centers = [(0, 30), (50, 0), (95, 60), (30, 95), (40, 45), (70, 30)]
+        for k, (cy, cx) in enumerate(centers, start=1):
+            m = (yy - cy) ** 2 + (xx - cx) ** 2 < 100
+            lbl[m & (lbl == 0)] = k
+        flows, fg = masks_to_flows(jnp.asarray(lbl), 64)
+        net_out = jnp.concatenate(
+            [5.0 * flows, jnp.where(fg > 0, 4.0, -4.0)[..., None]], axis=-1
+        )
+        plain, ok = compute_masks_sparse(net_out, 8192, flow_threshold=0.0, niter=200)
+        assert bool(ok)
+        expected = np.asarray(clear_border(plain))
+        cm = compute_masks_sparse_compact(
+            net_out, 8192, flow_threshold=0.0, niter=200, clear_border_labels=True
+        )
+        assert bool(cm.ok)
+        got = np.asarray(cm.labels)
+        np.testing.assert_array_equal(expected, got)
+        assert 0 < got.max() < np.asarray(plain).max()  # some dropped, some kept
+        # compact view consistent with the image
+        idx = np.asarray(cm.idx)
+        valid = np.asarray(cm.valid)
+        lab_c = np.asarray(cm.lab_c)
+        np.testing.assert_array_equal(got.ravel()[idx[valid]], lab_c[valid])

@@ -367,3 +367,94 @@ class TestSpatialPartitioning:
             )
         ]
         assert strip_rows and max(strip_rows) <= 8, strip_rows[:10]
+
+
+class TestUnetCompactMeasurement:
+    def test_unet_program_matches_full_image_measurement(self, rng):
+        """The unet well program's packed per-cell columns (compact-domain
+        measure_compacted) must match measure_labels +
+        measure_intensity_stack run on the very same label image."""
+        from arcadia_microscopy_tools_tpu.models.flows import (
+            compute_masks_sparse_compact,
+        )
+        from arcadia_microscopy_tools_tpu.models.synthetic import synthesize_cells
+        import pathlib
+
+        from arcadia_microscopy_tools_tpu.models.unet import apply_unet
+        from arcadia_microscopy_tools_tpu.models.weights import load_checkpoint
+        from arcadia_microscopy_tools_tpu.ops.fused import _percentile_from_cum
+        from arcadia_microscopy_tools_tpu.ops.regionprops import (
+            measure_intensity_stack,
+            measure_labels,
+        )
+        from arcadia_microscopy_tools_tpu.ops.stats import histogram_int
+        from arcadia_microscopy_tools_tpu.parallel.plate import (
+            _INTENSITY_STATS,
+            _PROP_COLUMNS,
+            PlateRunConfig,
+            _build_well_program,
+        )
+
+        ckpt = pathlib.Path(__file__).parents[1] / "checkpoints" / "unet"
+        if not ckpt.exists():
+            pytest.skip("trained checkpoint not present")
+        params = load_checkpoint(ckpt)
+        config = PlateRunConfig(
+            method="unet", max_cells=64, min_size=15, niter=100,
+            flow_threshold=0.4, remove_edge_cells=True,
+        )
+        img, _ = synthesize_cells(rng, (256, 256), n_cells=10, separation=0.95)
+        u16 = (img * 60000).astype(np.uint16)
+        well = jnp.asarray(np.stack([u16, u16]))
+
+        well_fn = _build_well_program(config, n_channels=2, unet_params=params)
+        packed, health = jax.jit(well_fn)(well)
+        packed = np.asarray(packed)
+
+        # reproduce the program's label image independently
+        h, w = 256, 256
+        counts, _ = histogram_int(well[0], 65536)
+        cum = jnp.cumsum(counts.astype(jnp.float32))
+        p1 = _percentile_from_cum(cum, 1.0, h * w)
+        p99 = _percentile_from_cum(cum, 99.0, h * w)
+        x = well[0].astype(jnp.float32)
+        xn = jnp.clip((x - p1) / jnp.maximum(p99 - p1, 1e-6), 0.0, 1.0)
+        net_in = jnp.stack([xn, xn, xn], axis=-1)[None]
+        out = apply_unet(params, net_in)[0]
+        cap = max(1, int(h * w * config.fg_cap_fraction))
+        cap = min(-(-cap // 8192) * 8192, h * w)
+        cm = compute_masks_sparse_compact(
+            out, cap, cellprob_threshold=0.0, flow_threshold=0.4,
+            niter=100, max_cells=64, min_size=15, clear_border_labels=True,
+        )
+        lbl = cm.labels
+
+        props = measure_labels(lbl, max_cells=64)
+        stats = measure_intensity_stack(lbl, well, max_cells=64)
+
+        assert packed.shape == (64, len(_PROP_COLUMNS) + 2 * len(_INTENSITY_STATS))
+        cols = {name: packed[:, i] for i, name in enumerate(_PROP_COLUMNS)}
+        k = len(_PROP_COLUMNS)
+        for ci in range(2):
+            for stat in _INTENSITY_STATS:
+                cols[f"{stat}_ch{ci}"] = packed[:, k]
+                k += 1
+
+        valid = np.asarray(props["valid"])
+        assert valid.any()  # the parity claim must be exercised on real cells
+        for name in _PROP_COLUMNS:
+            if name in ("label",):
+                continue
+            want = np.asarray(props[name]).astype(np.float32)
+            got = cols[name]
+            np.testing.assert_allclose(
+                got[valid], want[valid], rtol=1e-4, atol=1e-3, err_msg=name
+            )
+        for ci in range(2):
+            for stat in _INTENSITY_STATS:
+                want = np.asarray(stats[ci][stat]).astype(np.float32)
+                got = cols[f"{stat}_ch{ci}"]
+                np.testing.assert_allclose(
+                    got[valid], want[valid], rtol=1e-3, atol=1e-2,
+                    err_msg=f"{stat}_ch{ci}",
+                )
