@@ -390,7 +390,10 @@ def _cluster_landings_compact(
     real = sink_pos < n
     iota_s = jnp.arange(sink_cap, dtype=jnp.int32)
 
-    # 48-offset adjacency (Chebyshev <= 3) via ONE stacked searchsorted
+    # 48-offset adjacency (Chebyshev <= 3) via a scattered position->slot
+    # map: sink_cap updates + 48*sink_cap gathers (~10 ms). The previous
+    # stacked searchsorted was 90 ms at sink_cap 16384 - XLA lowers binary
+    # search to log2(S) serialized gather rounds per query.
     offsets = [
         (dy, dx)
         for dy in range(-3, 4)
@@ -402,10 +405,13 @@ def _cluster_landings_compact(
         in_b = real & (sy + dy >= 0) & (sy + dy < h) & (sx + dx >= 0) & (sx + dx < w)
         qs.append(jnp.where(in_b, sink_pos + dy * w + dx, n))
     queries = jnp.stack(qs)  # (48, sink_cap)
-    j = jnp.clip(jnp.searchsorted(sink_pos, queries), 0, sink_cap - 1).astype(
-        jnp.int32
-    )
-    hit = (sink_pos[j] == queries) & (queries < n)
+    # padding slots write out of bounds (n + 1) and are dropped, so the real
+    # sink positions are genuinely unique and the hint is sound
+    slot_img = jnp.full((n + 1,), sink_cap, jnp.int32).at[
+        jnp.where(real, sink_pos, n + 1)
+    ].set(iota_s, mode="drop", unique_indices=True)
+    j = slot_img[queries]  # sink_cap sentinel on misses / out-of-image
+    hit = (j < sink_cap) & (queries < n)
     nbr = jnp.where(hit, j, iota_s[None, :])  # neighbor index or self
 
     # union-find by min-index propagation + pointer jumping (tiny arrays;
@@ -559,8 +565,15 @@ def masks_to_flows(
     # center pixel per label = pixel closest to the centroid. Per-label
     # reductions run on the MXU segment kernels (jax.ops.segment_sum lowers
     # to scatter-add, which serializes on TPU; the .at[].min scatters were
-    # the same story).
-    from ..ops.segment_reduce import segment_minmax_blockwise, segment_sums_matmul
+    # the same story). Per-pixel reads of the per-label tables (cy[seg],
+    # dmin[seg], ...) go through `table_lookup_matmul` - XLA's gather costs
+    # ~27 ms per 4M indices on v5e even for a 1K table, and these four
+    # lookups dominated the QC stage (~110 of 141 ms at 2048^2).
+    from ..ops.segment_reduce import (
+        segment_minmax_blockwise,
+        segment_sums_matmul,
+        table_lookup_matmul,
+    )
 
     yy, xx = jnp.mgrid[0:h, 0:w]
     yf = yy.ravel().astype(jnp.float32)
@@ -570,19 +583,20 @@ def masks_to_flows(
     area = sums[0]
     cy = sums[1] / jnp.maximum(area, 1.0)
     cx = sums[2] / jnp.maximum(area, 1.0)
-    d2 = (yf - cy[seg]) ** 2 + (xf - cx[seg]) ** 2
+    c_at = table_lookup_matmul(jnp.stack([cy, cx]), seg)
+    d2 = (yf - c_at[0]) ** 2 + (xf - c_at[1]) ** 2
     d2 = jnp.where(seg > 0, d2, jnp.inf)
     # per-label argmin in two passes: min distance, then min index among ties
     big = jnp.float32(jnp.finfo(jnp.float32).max)
     d2_f = jnp.where(jnp.isfinite(d2), d2, big)
     dmin = segment_minmax_blockwise(d2_f[None], seg, nseg, compute_max=False)[0][0]
     idx = jnp.arange(h * w, dtype=jnp.float32)  # exact up to 2^24 pixels
-    candidate = (d2_f == dmin[seg]) & (seg > 0)
+    candidate = (d2_f == table_lookup_matmul(dmin, seg)) & (seg > 0)
     center_of = segment_minmax_blockwise(
         jnp.where(candidate, idx, jnp.float32(h * w))[None], seg, nseg,
         compute_max=False,
     )[0][0]
-    is_center = candidate & (idx == center_of[seg])
+    is_center = candidate & (idx == table_lookup_matmul(center_of, seg))
     source = is_center.reshape(h, w).astype(jnp.float32)
 
     # heat diffusion restricted to same-label neighbors. The same-label
@@ -802,11 +816,16 @@ def _finish_masks(landing, active, flows, flow_threshold, max_cells, min_size):
     labels = relabel_sequential_filtered(labels, min_size)
 
     if flow_threshold > 0:
+        from ..ops.segment_reduce import table_lookup_matmul
+
         errors = flow_error(labels, flows, max_cells)
         bad = errors > flow_threshold
-        # map per-label badness back onto pixels
-        bad_lut = jnp.concatenate([jnp.array([False]), bad])
-        keep = ~bad_lut[jnp.clip(labels, 0, max_cells)]
+        # map per-label badness back onto pixels (MXU lookup: the XLA gather
+        # for this full-image read of a 1K table costs ~27 ms at 2048^2)
+        bad_lut = jnp.concatenate([jnp.zeros((1,), jnp.int32), bad.astype(jnp.int32)])
+        keep = (
+            table_lookup_matmul(bad_lut, jnp.clip(labels, 0, max_cells).ravel()) == 0
+        ).reshape(labels.shape)
         labels = jnp.where(keep, labels, 0)
         labels = relabel_sequential(labels)
 

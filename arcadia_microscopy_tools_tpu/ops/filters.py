@@ -447,21 +447,89 @@ def _parabola_dilate_1d(x: jax.Array, radius: int, curvature: float, axis: int) 
     return -_parabola_erode_1d(-x, radius, curvature, axis)
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def rolling_ball_background(x: jax.Array, radius: int = 50) -> jax.Array:
-    """Estimate a smooth background with a paraboloid rolling-ball.
+def _sphere_offsets(radius: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static (offsets, heights) of the spherical structuring element.
 
-    TPU-native take on `skimage.restoration.rolling_ball`: the ball is
-    replaced by a paraboloid of revolution, which - unlike a sphere - is
-    exactly separable into two 1-D parabolic morphology passes
-    (z = c*(dx^2 + dy^2)). The curvature is matched to the ball apex
-    (c = 1/(2*radius) for a unit-height-scale image), the standard
-    ImageJ-style approximation.
-
-    Returns the background; subtract it from the image to flatten
-    illumination.
+    Offsets are (n, 2) top-left-relative slice starts into a radius-padded
+    image; heights are the ball profile sqrt(r^2 - d^2) at each in-support
+    tap. Only taps with d <= r participate (the sphere has compact support,
+    unlike the paraboloid which extends to the window corners).
     """
+    yy, xx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    d2 = yy * yy + xx * xx
+    inside = (d2 <= radius * radius).ravel()
+    heights = np.sqrt(np.clip(radius * radius - d2, 0, None)).astype(np.float32)
+    offsets = np.stack(
+        [(yy.ravel() + radius)[inside], (xx.ravel() + radius)[inside]], axis=1
+    ).astype(np.int32)
+    return offsets, heights.ravel()[inside]
+
+
+def _sphere_opening_2d(img: jax.Array, radius: int) -> jax.Array:
+    """Grayscale opening with the exact (non-flat) spherical structuring
+    element: e(q) = min_s (img(q+s) - K(s)), b(p) = max_s (e(p+s) + K(s))
+    with K(s) = sqrt(r^2 - |s|^2). A `lax.scan` over the ~pi*r^2 in-support
+    taps keeps the trace size O(1); each step is one dynamic-slice window
+    off the radius-padded array, so peak memory is one padded copy plus the
+    carry regardless of radius. Edges replicate, matching the flat
+    morphology in this module.
+    """
+    offsets_np, heights_np = _sphere_offsets(radius)
+    offsets = jnp.asarray(offsets_np)
+    heights = jnp.asarray(heights_np)
+    h, w = img.shape
+
+    def pass_(src, combine, init, sign):
+        padded = jnp.pad(src, ((radius, radius), (radius, radius)), mode="edge")
+
+        def body(carry, tap):
+            off, kv = tap
+            win = lax.dynamic_slice(padded, (off[0], off[1]), (h, w))
+            return combine(carry, win + sign * kv), None
+
+        out, _ = lax.scan(body, jnp.full((h, w), init, jnp.float32), (offsets, heights))
+        return out
+
+    eroded = pass_(img, jnp.minimum, jnp.inf, -1.0)
+    return pass_(eroded, jnp.maximum, -jnp.inf, 1.0)
+
+
+@partial(jax.jit, static_argnames=("radius", "kernel"))
+def rolling_ball_background(
+    x: jax.Array, radius: int = 50, kernel: str = "paraboloid"
+) -> jax.Array:
+    """Estimate a smooth background with a rolling-ball opening.
+
+    TPU-native take on `skimage.restoration.rolling_ball`
+    (reference usage: preprocessing ahead of amt/operations.py pipelines).
+    Two structuring elements:
+
+    - ``"paraboloid"`` (default): the ball is replaced by a paraboloid of
+      revolution, which - unlike a sphere - is exactly separable into two
+      1-D parabolic morphology passes (z = c*(dx^2 + dy^2)). Curvature is
+      matched to the ball apex (c = 1/(2*radius)), the standard
+      ImageJ-style approximation; cost is O(radius) shifts.
+    - ``"sphere"``: the exact spherical profile sqrt(r^2 - d^2), the same
+      element `skimage.restoration.ball_kernel` builds. O(radius^2) taps
+      via a scan (memory stays O(image)); use when the paraboloid's wider
+      skirt over- or under-carves and exactness matters more than speed.
+
+    Returns the background (everywhere <= the image, as any opening);
+    subtract it from the image to flatten illumination.
+    """
+    if kernel not in ("paraboloid", "sphere"):
+        raise ValueError(
+            f"Unknown rolling-ball kernel: {kernel!r}. "
+            "Supported kernels: 'paraboloid', 'sphere'."
+        )
     img = jnp.asarray(x, dtype=jnp.float32)
+    if kernel == "sphere":
+        if img.ndim == 2:
+            return _sphere_opening_2d(img, radius)
+        lead = img.shape[:-2]
+        flat = img.reshape((-1,) + img.shape[-2:])
+        out = jax.vmap(lambda f: _sphere_opening_2d(f, radius))(flat)
+        return out.reshape(lead + img.shape[-2:])
     curvature = 1.0 / (2.0 * float(radius))
     # opening = erosion then dilation with the paraboloid
     er = _parabola_erode_1d(img, radius, curvature, axis=-2)
@@ -471,8 +539,10 @@ def rolling_ball_background(x: jax.Array, radius: int = 50) -> jax.Array:
     return di
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def subtract_background_rolling_ball(x: jax.Array, radius: int = 50) -> jax.Array:
-    """Subtract a paraboloid rolling-ball background (clipped at zero)."""
+@partial(jax.jit, static_argnames=("radius", "kernel"))
+def subtract_background_rolling_ball(
+    x: jax.Array, radius: int = 50, kernel: str = "paraboloid"
+) -> jax.Array:
+    """Subtract a rolling-ball background (clipped at zero)."""
     img = jnp.asarray(x, dtype=jnp.float32)
-    return jnp.clip(img - rolling_ball_background(img, radius), 0.0, None)
+    return jnp.clip(img - rolling_ball_background(img, radius, kernel), 0.0, None)

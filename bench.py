@@ -122,12 +122,13 @@ def _bench_unet_plate(wells, reps: int) -> None:
     params = load_checkpoint(ckpt) if ckpt.exists() else seeded_params()
 
     B, C, H = wells.shape[0], wells.shape[1], wells.shape[2]
-    # fg_cap_fraction covers the bench wells' true foreground with margin;
-    # the no-overflow assert below keeps the number honest (an overflowed
-    # dispatch advects only a prefix of the active pixels = less work)
+    # the DEFAULT fg_cap_fraction (0.0625 = 262k active pixels at 2048^2,
+    # ~3.5x margin over these wells' true foreground) - what a user gets out
+    # of the box; the no-overflow assert below keeps the number honest (an
+    # overflowed dispatch advects only a prefix of the active pixels = less
+    # work, and real denser wells would pay the escalation redispatch)
     config = PlateRunConfig(
         method="unet", max_cells=1024, min_size=20, niter=200, flow_threshold=0.4,
-        fg_cap_fraction=0.25,
     )
     well_fn = _build_well_program(config, n_channels=C, unet_params=params)
     program = jax.jit(jax.vmap(well_fn))
@@ -138,7 +139,8 @@ def _bench_unet_plate(wells, reps: int) -> None:
 
     warm = program(wells)
     force(warm)
-    overflow = np.asarray(warm[1]["fg_overflow"])
+    # health vector layout: [num_components, fg_overflow, converged]
+    overflow = np.asarray(warm[1])[..., 1] > 0
     if overflow.any():
         raise RuntimeError(
             "U-Net plate bench overflowed its foreground cap; the measured "

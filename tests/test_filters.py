@@ -113,6 +113,86 @@ class TestRollingBall:
         assert np.median(np.abs(out[ramp > 0])) < 30.0
 
 
+class TestSphereRollingBall:
+    @staticmethod
+    def _reference_sphere_opening(img: np.ndarray, radius: int) -> np.ndarray:
+        """Brute-force opening with the exact spherical element
+        K(s) = sqrt(r^2 - |s|^2) (edge-replicated), the definition
+        `skimage.restoration.ball_kernel` encodes."""
+        yy, xx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+        d2 = yy * yy + xx * xx
+        inside = d2 <= radius * radius
+        heights = np.sqrt(np.clip(radius * radius - d2, 0, None))
+        h, w = img.shape
+        pad = np.pad(img.astype(np.float64), radius, mode="edge")
+        eroded = np.full((h, w), np.inf)
+        for dy in range(2 * radius + 1):
+            for dx in range(2 * radius + 1):
+                if not inside[dy, dx]:
+                    continue
+                eroded = np.minimum(eroded, pad[dy : dy + h, dx : dx + w] - heights[dy, dx])
+        pad_e = np.pad(eroded, radius, mode="edge")
+        opened = np.full((h, w), -np.inf)
+        for dy in range(2 * radius + 1):
+            for dx in range(2 * radius + 1):
+                if not inside[dy, dx]:
+                    continue
+                opened = np.maximum(opened, pad_e[dy : dy + h, dx : dx + w] + heights[dy, dx])
+        return opened
+
+    def test_matches_bruteforce_reference(self, rng):
+        from arcadia_microscopy_tools_tpu.ops.filters import rolling_ball_background
+
+        img = rng.normal(200.0, 40.0, (40, 37)).astype(np.float32)
+        img[12:16, 9:13] += 900.0
+        for radius in (3, 7):
+            want = self._reference_sphere_opening(img, radius)
+            got = np.asarray(
+                rolling_ball_background(jnp.asarray(img), radius, kernel="sphere")
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+    def test_background_below_image_and_flat_preserved(self, rng):
+        from arcadia_microscopy_tools_tpu.ops.filters import rolling_ball_background
+
+        img = rng.normal(300.0, 30.0, (48, 48)).astype(np.float32)
+        bg = np.asarray(rolling_ball_background(jnp.asarray(img), 8, kernel="sphere"))
+        assert (bg <= img + 1e-3).all()  # any opening lower-bounds the image
+        flat = np.full((32, 32), 125.0, np.float32)
+        np.testing.assert_allclose(
+            np.asarray(rolling_ball_background(jnp.asarray(flat), 8, kernel="sphere")),
+            flat,
+            atol=1e-4,
+        )
+
+    def test_narrow_peak_carved_wide_plateau_kept(self):
+        from arcadia_microscopy_tools_tpu.ops.filters import rolling_ball_background
+
+        img = np.zeros((64, 64), np.float32)
+        img[30:32, 30:32] = 500.0  # narrower than the ball: removed
+        img[8:24, 8:24] = 100.0  # much wider than the ball: kept
+        bg = np.asarray(rolling_ball_background(jnp.asarray(img), 6, kernel="sphere"))
+        assert bg[30, 30] < 50.0
+        assert bg[15, 15] > 90.0
+
+    def test_batched_matches_single(self, rng):
+        from arcadia_microscopy_tools_tpu.ops.filters import rolling_ball_background
+
+        stack = rng.normal(100.0, 20.0, (3, 24, 24)).astype(np.float32)
+        batched = np.asarray(rolling_ball_background(jnp.asarray(stack), 4, kernel="sphere"))
+        for i in range(3):
+            single = np.asarray(
+                rolling_ball_background(jnp.asarray(stack[i]), 4, kernel="sphere")
+            )
+            np.testing.assert_allclose(batched[i], single, rtol=1e-6)
+
+    def test_unknown_kernel_rejected(self):
+        from arcadia_microscopy_tools_tpu.ops.filters import rolling_ball_background
+
+        with pytest.raises(ValueError, match="Unknown rolling-ball kernel"):
+            rolling_ball_background(jnp.zeros((8, 8)), 4, kernel="cube")
+
+
 class TestFusedClassicalMask:
     def test_matches_unfused_pipeline(self, rng):
         """The single-histogram fused frontend must reproduce the three-stage

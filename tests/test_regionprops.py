@@ -3,6 +3,7 @@ strategy, test_masks.py:14-30) plus per-region comparison against independent
 moment/perimeter reference implementations."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import reference_impl as ref
@@ -188,3 +189,40 @@ class TestIntensityStdPrecision:
         np.testing.assert_allclose(
             float(stats["intensity_std"][0]), region.std(), rtol=2e-3
         )
+
+
+class TestTableLookupMatmul:
+    """ops/segment_reduce.table_lookup_matmul: the MXU one-hot lookup must be
+    bit-exact against the plain gather for every 32-bit payload class."""
+
+    def test_f32_bit_exact_incl_nonfinite(self):
+        from arcadia_microscopy_tools_tpu.ops.segment_reduce import table_lookup_matmul
+
+        rng = np.random.default_rng(0)
+        tab = (rng.standard_normal(1025) * 1e6).astype(np.float32)
+        tab[3] = np.inf
+        tab[5] = -np.inf
+        tab[7] = np.nan
+        tab[9] = -0.0
+        ids = rng.integers(0, 1025, 200_003).astype(np.int32)
+        got = np.asarray(table_lookup_matmul(jnp.asarray(tab), jnp.asarray(ids)))
+        np.testing.assert_array_equal(
+            got.view(np.uint32), tab[ids].view(np.uint32)
+        )
+
+    def test_multi_table_int32(self):
+        from arcadia_microscopy_tools_tpu.ops.segment_reduce import table_lookup_matmul
+
+        rng = np.random.default_rng(1)
+        tabs = rng.integers(-(2**31), 2**31 - 1, (3, 517), dtype=np.int32)
+        ids = rng.integers(0, 517, 10_001).astype(np.int32)
+        got = np.asarray(table_lookup_matmul(jnp.asarray(tabs), jnp.asarray(ids)))
+        np.testing.assert_array_equal(got, tabs[:, ids])
+
+    def test_out_of_range_ids_zero(self):
+        from arcadia_microscopy_tools_tpu.ops.segment_reduce import table_lookup_matmul
+
+        tab = jnp.asarray(np.arange(1, 9, dtype=np.int32))
+        ids = jnp.asarray(np.array([0, 7, 8, 100], np.int32))
+        got = np.asarray(table_lookup_matmul(tab, ids))
+        np.testing.assert_array_equal(got, [1, 8, 0, 0])
