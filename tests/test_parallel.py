@@ -374,20 +374,14 @@ class TestUnetCompactMeasurement:
         """The unet well program's packed per-cell columns (compact-domain
         measure_compacted) must match measure_labels +
         measure_intensity_stack run on the very same label image."""
-        from arcadia_microscopy_tools_tpu.models.flows import (
-            compute_masks_sparse_compact,
-        )
-        from arcadia_microscopy_tools_tpu.models.synthetic import synthesize_cells
         import pathlib
 
-        from arcadia_microscopy_tools_tpu.models.unet import apply_unet
+        from arcadia_microscopy_tools_tpu.models.synthetic import synthesize_cells
         from arcadia_microscopy_tools_tpu.models.weights import load_checkpoint
-        from arcadia_microscopy_tools_tpu.ops.fused import _percentile_from_cum
         from arcadia_microscopy_tools_tpu.ops.regionprops import (
             measure_intensity_stack,
             measure_labels,
         )
-        from arcadia_microscopy_tools_tpu.ops.stats import histogram_int
         from arcadia_microscopy_tools_tpu.parallel.plate import (
             _INTENSITY_STATS,
             _PROP_COLUMNS,
@@ -407,27 +401,16 @@ class TestUnetCompactMeasurement:
         u16 = (img * 60000).astype(np.uint16)
         well = jnp.asarray(np.stack([u16, u16]))
 
-        well_fn = _build_well_program(config, n_channels=2, unet_params=params)
-        packed, health = jax.jit(well_fn)(well)
-        packed = np.asarray(packed)
-
-        # reproduce the program's label image independently
-        h, w = 256, 256
-        counts, _ = histogram_int(well[0], 65536)
-        cum = jnp.cumsum(counts.astype(jnp.float32))
-        p1 = _percentile_from_cum(cum, 1.0, h * w)
-        p99 = _percentile_from_cum(cum, 99.0, h * w)
-        x = well[0].astype(jnp.float32)
-        xn = jnp.clip((x - p1) / jnp.maximum(p99 - p1, 1e-6), 0.0, 1.0)
-        net_in = jnp.stack([xn, xn, xn], axis=-1)[None]
-        out = apply_unet(params, net_in)[0]
-        cap = max(1, int(h * w * config.fg_cap_fraction))
-        cap = min(-(-cap // 8192) * 8192, h * w)
-        cm = compute_masks_sparse_compact(
-            out, cap, cellprob_threshold=0.0, flow_threshold=0.4,
-            niter=100, max_cells=64, min_size=15, clear_border_labels=True,
+        # debug_labels exposes the program's OWN label image, so this test
+        # pins the measurement path against the exact labels it measured
+        # (reproducing the forward independently is fragile: float
+        # reassociation across jit fusion contexts can flip a
+        # threshold-boundary pixel and shift a cell's area by one)
+        well_fn = _build_well_program(
+            config, n_channels=2, unet_params=params, debug_labels=True
         )
-        lbl = cm.labels
+        packed, health, lbl = jax.jit(well_fn)(well)
+        packed = np.asarray(packed)
 
         props = measure_labels(lbl, max_cells=64)
         stats = measure_intensity_stack(lbl, well, max_cells=64)

@@ -147,3 +147,60 @@ class TestPlateBatchCompiled:
         assert not results.failed_wells
         for wid in wells:
             assert len(results.tables[wid]) == expected[wid]
+
+
+class TestDiffusePallasCompiled:
+    """flows_pallas.diffuse_pallas through real Mosaic lowering: the
+    temporally-blocked stencil must be exactly equal to the dense XLA loop
+    (same check as tests/test_models.py runs in interpreter mode)."""
+
+    def test_diffusion_parity_on_chip(self, rng):
+        import jax.numpy as jnp
+
+        from arcadia_microscopy_tools_tpu.models.flows_pallas import (
+            diffuse_pallas,
+            diffuse_xla,
+        )
+
+        H = 512
+        yy, xx = np.mgrid[0:H, 0:H]
+        lbl = np.zeros((H, H), np.int32)
+        for k in range(1, 25):
+            cy, cx = rng.integers(16, H - 16, 2)
+            r = int(rng.integers(5, 15))
+            lbl[(yy - cy) ** 2 + (xx - cx) ** 2 < r * r] = k
+        src = np.zeros((H, H), np.float32)
+        for k in range(1, 25):
+            ys, xs = np.where(lbl == k)
+            if len(ys):
+                src[ys[len(ys) // 2], xs[len(xs) // 2]] = 1.0
+        a = np.asarray(diffuse_xla(jnp.asarray(lbl), jnp.asarray(src), 40))
+        b = np.asarray(
+            diffuse_pallas(jnp.asarray(lbl), jnp.asarray(src), 40, ts=256)
+        )
+        np.testing.assert_array_equal(a, b)
+
+    def test_masks_to_flows_routes_through_kernel(self, rng):
+        """masks_to_flows at a kernel-viable shape must produce the same
+        flows as with the kernel disabled (AMT_PALLAS_DIFFUSE kill switch)."""
+        import jax.numpy as jnp
+
+        from arcadia_microscopy_tools_tpu.models import flows as F
+
+        H = 256
+        yy, xx = np.mgrid[0:H, 0:H]
+        lbl = np.zeros((H, H), np.int32)
+        for k, (cy, cx) in enumerate([(60, 60), (128, 128), (200, 100)], 1):
+            lbl[(yy - cy) ** 2 + (xx - cx) ** 2 < 144] = k
+        fl_a, _ = F.masks_to_flows(jnp.asarray(lbl), max_cells=8, n_iter=32)
+        old = F._USE_PALLAS_DIFFUSE
+        F._USE_PALLAS_DIFFUSE = False
+        try:
+            fl_b, _ = F.masks_to_flows(
+                jnp.asarray(lbl), max_cells=8, n_iter=32
+            )
+        finally:
+            F._USE_PALLAS_DIFFUSE = old
+        np.testing.assert_allclose(
+            np.asarray(fl_a), np.asarray(fl_b), atol=1e-6
+        )

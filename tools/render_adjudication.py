@@ -54,7 +54,11 @@ for row, (name, ch, diam) in enumerate(FIXTURES):
     disp = np.clip((inten.astype(float) - lo) / max(hi - lo, 1), 0, 1)
 
     for col, (title, lbl) in enumerate(
-        [("raw", None), (f"classical ({classical.max()})", classical), (f"unet ({unet.max()})", unet)]
+        [
+            ("raw", None),
+            (f"classical ({classical.max()})", classical),
+            (f"unet ({unet.max()})", unet),
+        ]
     ):
         ax = axes[row][col]
         ax.imshow(disp, cmap="gray", interpolation="nearest")
