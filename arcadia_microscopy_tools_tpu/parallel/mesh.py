@@ -19,10 +19,18 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["MeshConfig", "create_mesh", "well_sharding", "replicated"]
+__all__ = [
+    "MeshConfig",
+    "create_mesh",
+    "create_multihost_mesh",
+    "well_sharding",
+    "plate_sharding_multihost",
+    "replicated",
+]
 
 WELL_AXIS = "wells"
 SPACE_AXIS = "space"
+HOST_AXIS = "hosts"
 
 
 @dataclass(frozen=True)
@@ -57,6 +65,43 @@ def create_mesh(config: MeshConfig | None = None) -> Mesh:
         raise ValueError(f"space_parallelism={sp} must divide device count {n}")
     grid = np.array(devices).reshape(n // sp, sp)
     return Mesh(grid, axis_names=(WELL_AXIS, SPACE_AXIS))
+
+
+def create_multihost_mesh(
+    n_hosts: int, config: MeshConfig | None = None
+) -> Mesh:
+    """Build a (hosts, wells, space) mesh for multi-host plates.
+
+    The `hosts` axis is the DCN boundary: `jax.devices()` orders devices by
+    process, so reshaping (n_hosts, per_host_wells, space) puts cross-host
+    traffic on the OUTER axis only - gradient all-reduces ride DCN once per
+    step while well/space collectives stay on each slice's ICI (the layout
+    recipe of the scaling playbook). Works identically on a virtual CPU
+    topology, which is how `dryrun_multichip` exercises it without a second
+    host.
+    """
+    config = config or MeshConfig()
+    devices = config.resolve_devices()
+    n = len(devices)
+    sp = config.space_parallelism
+    if n % (n_hosts * sp) != 0:
+        raise ValueError(
+            f"n_hosts={n_hosts} x space_parallelism={sp} must divide device "
+            f"count {n}"
+        )
+    grid = np.array(devices).reshape(n_hosts, n // (n_hosts * sp), sp)
+    return Mesh(grid, axis_names=(HOST_AXIS, WELL_AXIS, SPACE_AXIS))
+
+
+def plate_sharding_multihost(mesh: Mesh, *, spatial: bool = False) -> NamedSharding:
+    """Batch sharding over the combined (hosts, wells) axes of a multi-host
+    mesh: each host's slice takes a contiguous block of the plate batch, and
+    within the slice wells spread over ICI exactly as in `well_sharding`."""
+    if spatial:
+        return NamedSharding(
+            mesh, PartitionSpec((HOST_AXIS, WELL_AXIS), None, SPACE_AXIS, None)
+        )
+    return NamedSharding(mesh, PartitionSpec((HOST_AXIS, WELL_AXIS)))
 
 
 def well_sharding(mesh: Mesh, *, spatial: bool = False) -> NamedSharding:

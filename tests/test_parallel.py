@@ -55,6 +55,51 @@ class TestMesh:
         with pytest.raises(ValueError, match="must divide"):
             create_mesh(MeshConfig(space_parallelism=3))
 
+    def test_multihost_mesh_axes(self):
+        from arcadia_microscopy_tools_tpu.parallel.mesh import (
+            HOST_AXIS,
+            create_multihost_mesh,
+        )
+
+        mesh = create_multihost_mesh(2)
+        assert mesh.shape[HOST_AXIS] == 2
+        assert mesh.shape[WELL_AXIS] == 4
+        assert mesh.shape[SPACE_AXIS] == 1
+        with pytest.raises(ValueError, match="must divide"):
+            create_multihost_mesh(3)
+
+    def test_multihost_plate_program_matches_single_axis(self, rng):
+        """A (hosts, wells) mesh run of the fused well program must be
+        bit-identical to the plain wells-axis run - the DCN axis is a layout
+        choice, never a semantics change."""
+        import jax
+
+        from arcadia_microscopy_tools_tpu.parallel.mesh import (
+            create_multihost_mesh,
+            plate_sharding_multihost,
+            well_sharding,
+        )
+        from arcadia_microscopy_tools_tpu.parallel.plate import (
+            PlateRunConfig,
+            _build_well_program,
+        )
+
+        config = PlateRunConfig(max_cells=32, min_size=4)
+        well_fn = _build_well_program(config, n_channels=2)
+        wells = jnp.asarray((rng.random((8, 2, 64, 64)) * 4000).astype(np.uint16))
+
+        mesh1 = create_mesh()
+        p1 = jax.jit(jax.vmap(well_fn), in_shardings=(well_sharding(mesh1),))
+        a_packed, a_health = p1(jax.device_put(wells, well_sharding(mesh1)))
+
+        mesh2 = create_multihost_mesh(2)
+        sh2 = plate_sharding_multihost(mesh2)
+        p2 = jax.jit(jax.vmap(well_fn), in_shardings=(sh2,))
+        b_packed, b_health = p2(jax.device_put(wells, sh2))
+
+        np.testing.assert_array_equal(np.asarray(a_packed), np.asarray(b_packed))
+        np.testing.assert_array_equal(np.asarray(a_health), np.asarray(b_health))
+
 
 class TestCollectives:
     def test_halo_exchange_matches_edge_padding(self, rng):
