@@ -377,9 +377,14 @@ class PlateRunner:
         mesh_config: MeshConfig | None = None,
         unet_params: Any = None,
         checkpoint_dir: str | Path | None = None,
+        mesh: Any = None,
     ):
+        """`mesh` overrides `mesh_config` with a pre-built mesh - pass a
+        `create_multihost_mesh(...)` result to spread the plate over multiple
+        slices (the hosts axis shards the batch alongside wells; see
+        parallel/mesh.py for the DCN layout rationale)."""
         self.config = config or PlateRunConfig()
-        self.mesh = create_mesh(mesh_config)
+        self.mesh = mesh if mesh is not None else create_mesh(mesh_config)
         self.unet_params = unet_params
         if self.config.method == "unet" and unet_params is None:
             from ..models.weights import seeded_params
@@ -441,8 +446,9 @@ class PlateRunner:
                 config, n_channels, self.unet_params, spatial=spatial
             )
             batched = jax.vmap(well_fn)
-            sharding = well_sharding(self.mesh, spatial=spatial)
-            self._compiled[key] = jax.jit(batched, in_shardings=(sharding,))
+            self._compiled[key] = jax.jit(
+                batched, in_shardings=(self._input_sharding(),)
+            )
         return self._compiled[key]
 
     def _escalated_config(self, level: int) -> PlateRunConfig:
@@ -460,10 +466,20 @@ class PlateRunner:
     def _batch_size(self) -> int:
         if self.config.batch_size is not None:
             return self.config.batch_size
-        return self.mesh.shape["wells"]
+        from .mesh import HOST_AXIS
+
+        n = self.mesh.shape["wells"]
+        if HOST_AXIS in self.mesh.shape:
+            n *= self.mesh.shape[HOST_AXIS]
+        return n
 
     def _input_sharding(self):
-        return well_sharding(self.mesh, spatial=self.mesh.shape[SPACE_AXIS] > 1)
+        from .mesh import HOST_AXIS, plate_sharding_multihost
+
+        spatial = self.mesh.shape[SPACE_AXIS] > 1
+        if HOST_AXIS in self.mesh.shape:
+            return plate_sharding_multihost(self.mesh, spatial=spatial)
+        return well_sharding(self.mesh, spatial=spatial)
 
     def _results_to_table(
         self,

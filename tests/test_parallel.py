@@ -179,6 +179,26 @@ class TestPlateRunner:
         summary = results.summary()
         assert (summary["num_cells"] >= 5).all()
 
+    def test_multihost_runner_matches_single_axis(self, rng):
+        """PlateRunner on a 2-host mesh produces the same tables as the
+        default wells-only mesh."""
+        from arcadia_microscopy_tools_tpu.parallel.mesh import create_multihost_mesh
+
+        layout = self._layout(8)
+        wells = {w: synth_well(rng) for w in layout.well_ids}
+        cfg = PlateRunConfig(max_cells=64, min_size=20)
+        ref_results = PlateRunner(cfg).run(layout, wells)
+        mh_results = PlateRunner(cfg, mesh=create_multihost_mesh(2)).run(
+            layout, wells
+        )
+        assert not mh_results.failed_wells
+        for wid in layout.well_ids:
+            pd_a = ref_results.tables[wid].reset_index(drop=True)
+            pd_b = mh_results.tables[wid].reset_index(drop=True)
+            np.testing.assert_allclose(
+                pd_a.to_numpy(float), pd_b.to_numpy(float)
+            )
+
     def test_matches_single_image_path(self, rng):
         """Plate measurements equal the SegmentationMask path for one well."""
         from arcadia_microscopy_tools_tpu.masks import SegmentationMask
