@@ -466,6 +466,27 @@ class TestUNetS2D:
         b = np.asarray(apply_unet_s2d(sp, x, cfg))
         np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-4)
 
+    def test_matches_at_production_dtype(self, unet_params):
+        """Default config = bfloat16 (the plate path's dtype): the rewrite
+        must track the plain forward within bf16 noise - the downstream
+        consumer thresholds cellprob at 0, so agreement matters most near
+        decision boundaries; assert both values and the sign map."""
+        from arcadia_microscopy_tools_tpu.models.unet_s2d import (
+            apply_unet_s2d,
+            s2d_params,
+        )
+
+        sp = s2d_params(unet_params)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+        a = np.asarray(apply_unet(unet_params, x))  # default UNetConfig/bf16
+        b = np.asarray(apply_unet_s2d(sp, x))
+        np.testing.assert_allclose(a, b, atol=0.1, rtol=0.05)
+        # cellprob sign agreement away from the boundary
+        prob_a, prob_b = a[..., 2], b[..., 2]
+        decided = np.abs(prob_a) > 0.25
+        assert ((prob_a > 0) == (prob_b > 0))[decided].all()
+
     def test_kernel_rewrite_is_exact_conv_identity(self):
         """Single 3x3 conv: S2D(conv(x, w)) == conv(S2D(x), W') exactly."""
         from jax import lax

@@ -68,6 +68,35 @@ class TestMesh:
         with pytest.raises(ValueError, match="must divide"):
             create_multihost_mesh(3)
 
+    def test_multihost_spatial_sharding_matches(self, rng):
+        """(hosts=2, wells=2, space=2): the fully-composed layout still
+        reproduces the plain run bit-for-bit."""
+        import jax
+
+        from arcadia_microscopy_tools_tpu.parallel.mesh import (
+            create_multihost_mesh,
+            plate_sharding_multihost,
+        )
+        from arcadia_microscopy_tools_tpu.parallel.plate import (
+            PlateRunConfig,
+            _build_well_program,
+        )
+
+        config = PlateRunConfig(max_cells=32, min_size=4)
+        wells = jnp.asarray((rng.random((4, 2, 64, 64)) * 4000).astype(np.uint16))
+
+        plain = jax.jit(jax.vmap(_build_well_program(config, n_channels=2)))
+        a_packed, a_health = plain(wells)
+
+        mesh = create_multihost_mesh(2, MeshConfig(space_parallelism=2))
+        sh = plate_sharding_multihost(mesh, spatial=True)
+        sp_fn = _build_well_program(config, n_channels=2, spatial=True)
+        prog = jax.jit(jax.vmap(sp_fn), in_shardings=(sh,))
+        b_packed, b_health = prog(jax.device_put(wells, sh))
+
+        np.testing.assert_array_equal(np.asarray(a_packed), np.asarray(b_packed))
+        np.testing.assert_array_equal(np.asarray(a_health), np.asarray(b_health))
+
     def test_multihost_plate_program_matches_single_axis(self, rng):
         """A (hosts, wells) mesh run of the fused well program must be
         bit-identical to the plain wells-axis run - the DCN axis is a layout
