@@ -28,6 +28,8 @@ from .channels import Channel
 
 __all__ = [
     "DimensionFlags",
+    "DimensionValidatorMixin",
+    "dimension_field",
     "NominalDimensions",
     "MeasuredDimensions",
     "AcquisitionSettings",
@@ -75,6 +77,36 @@ class DimensionFlags(Flag):
     @property
     def is_montage(self) -> bool:
         return DimensionFlags.MONTAGE in self
+
+
+def dimension_field(dimension: "DimensionFlags", default=None):
+    """A dataclass field required only when `dimension` is present.
+
+    User-extension compatibility with the reference's field-metadata
+    mechanism (`src/arcadia_microscopy_tools/metadata_structures.py:14-17`):
+    records built from these fields validate through
+    `DimensionValidatorMixin`. The built-in records here use the equivalent
+    `_CONDITIONAL`-table mechanism instead (see module docstring); both
+    raise the same error for the same omission.
+    """
+    from dataclasses import field
+
+    return field(default=default, metadata={"requires_dimension": dimension})
+
+
+class DimensionValidatorMixin:
+    """Validation mixin for dataclasses using `dimension_field`
+    (reference `metadata_structures.py:20-31`): `validate(dimensions)`
+    raises when a set axis flag demands a field that is still None."""
+
+    def validate(self, dimensions: "DimensionFlags") -> None:
+        for field_info in self.__dataclass_fields__.values():  # type: ignore[attr-defined]
+            required = field_info.metadata.get("requires_dimension")
+            if required and (dimensions & required):
+                if getattr(self, field_info.name) is None:
+                    raise ValueError(
+                        f"{field_info.name} is required for {required.name}"
+                    )
 
 
 def _check_required(

@@ -5,12 +5,15 @@ from .core.metadata_structures import (
     AcquisitionSettings,
     ChannelMetadata,
     DimensionFlags,
+    DimensionValidatorMixin,
     MeasuredDimensions,
     MicroscopeConfig,
     NominalDimensions,
+    dimension_field,
 )
 
 __all__ = [
     "AcquisitionSettings", "ChannelMetadata", "DimensionFlags",
-    "MeasuredDimensions", "MicroscopeConfig", "NominalDimensions",
+    "DimensionValidatorMixin", "MeasuredDimensions", "MicroscopeConfig",
+    "NominalDimensions", "dimension_field",
 ]

@@ -179,3 +179,41 @@ class TestMicroscopyImageValidation:
         out = image.apply_pipeline(pipe, "DAPI")
         assert out.shape == (256, 256)
         assert 0 <= out.min() and out.max() <= 1
+
+
+class TestDimensionFieldHelpers:
+    """User-extension parity with the reference's field-metadata validation
+    mechanism (reference metadata_structures.py:14-31): dataclasses built
+    from `dimension_field` validate through `DimensionValidatorMixin`."""
+
+    def test_dimension_field_validation(self):
+        from dataclasses import dataclass
+
+        from arcadia_microscopy_tools_tpu.metadata_structures import (
+            DimensionFlags,
+            DimensionValidatorMixin,
+            dimension_field,
+        )
+
+        @dataclass
+        class CustomRecord(DimensionValidatorMixin):
+            z_planes: int | None = dimension_field(DimensionFlags.Z_STACK)
+            t_frames: int | None = dimension_field(
+                DimensionFlags.TIMELAPSE, default=1
+            )
+
+        rec = CustomRecord()
+        rec.validate(DimensionFlags.SPATIAL_2D)
+        rec.validate(DimensionFlags.TIMELAPSE)  # has a default, passes
+        with pytest.raises(ValueError, match="z_planes is required for Z_STACK"):
+            rec.validate(DimensionFlags.Z_STACK)
+        CustomRecord(z_planes=5).validate(
+            DimensionFlags.Z_STACK | DimensionFlags.TIMELAPSE
+        )
+
+    def test_model_logger_exists(self):
+        import logging
+
+        import arcadia_microscopy_tools_tpu.model as model_module
+
+        assert isinstance(model_module.logger, logging.Logger)
