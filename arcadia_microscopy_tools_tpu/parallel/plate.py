@@ -224,7 +224,6 @@ def _build_well_program(
         bit-exactly at ~1/10 the cost.
         """
         from ..models.flows import compute_masks_sparse_compact
-        from ..models.unet import apply_unet
         from ..models.unet_s2d import apply_unet_s2d, s2d_params
         from ..ops.fused import _percentile_from_cum
         from ..ops.stats import histogram_int
@@ -236,16 +235,23 @@ def _build_well_program(
         p99 = _percentile_from_cum(cum, 99.0, h * w)
         x = seg_img.astype(jnp.float32)
         xn = jnp.clip((x - p1) / jnp.maximum(p99 - p1, 1e-6), 0.0, 1.0)
+        # the U-Net's three pooling levels need sides that are multiples of
+        # 8; edge-replicate up to the next multiple (trace-time constants)
+        # and crop the prediction back. Border cells are unaffected: the
+        # replicated margin only feeds the outermost receptive fields, and
+        # the plate path clears border-touching labels anyway.
+        ph, pw = (-h) % 8, (-w) % 8
+        if ph or pw:
+            xn = jnp.pad(xn, ((0, ph), (0, pw)), mode="edge")
         net_in = jnp.stack([xn, xn, xn], axis=-1)[None]
-        if h % 8 == 0 and w % 8 == 0:
-            # space-to-depth forward: the narrow high-res conv levels run
-            # 4x channel-wide at quarter area - full MXU lane occupancy,
-            # exact to float tolerance (models/unet_s2d.py; 214 -> ~50
-            # ms/img at 2048^2). Params are concrete at trace time, so the
-            # rewrite happens once host-side and bakes into the program.
-            out = apply_unet_s2d(s2d_params(unet_params), net_in)[0]
-        else:
-            out = apply_unet(unet_params, net_in)[0]
+        # space-to-depth forward: the narrow high-res conv levels run
+        # 4x channel-wide at quarter area - full MXU lane occupancy,
+        # exact to float tolerance (models/unet_s2d.py; 214 -> ~50
+        # ms/img at 2048^2). Params are concrete at trace time, so the
+        # rewrite happens once host-side and bakes into the program.
+        out = apply_unet_s2d(s2d_params(unet_params), net_in)[0]
+        if ph or pw:
+            out = out[:h, :w]
         # active-pixel cap for the sparse flow integration: same sizing as
         # the classical path's foreground-compaction capacity
         cap = max(1, int(h * w * config.fg_cap_fraction))

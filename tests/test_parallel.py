@@ -399,6 +399,38 @@ class TestUnetPlatePath:
                 c.startswith("intensity_mean") for c in table.columns
             )
 
+    def test_unet_method_odd_shape_fallback(self, rng):
+        """Wells whose side is not a multiple of 8 (the U-Net's pooling
+        requirement) are edge-padded up and cropped back inside the well
+        program; the deep path must still run end-to-end and find cells.
+        (Before the padding, such wells always failed: the forward pass
+        cannot pool a 25-row level.)"""
+        import pathlib
+
+        from arcadia_microscopy_tools_tpu.models.synthetic import synthesize_cells
+        from arcadia_microscopy_tools_tpu.models.weights import load_checkpoint
+
+        ckpt = pathlib.Path(__file__).parents[1] / "checkpoints" / "unet"
+        if not ckpt.exists():
+            pytest.skip("trained checkpoint not present")
+        params = load_checkpoint(ckpt)
+
+        img, _ = synthesize_cells(rng, (100, 100), n_cells=4, separation=0.95)
+        u16 = (img * 60000).astype(np.uint16)  # 100 % 8 == 4
+        wells = {"A01": np.stack([u16, u16])}
+        layout = MicroplateLayout([Well(id="A01")])
+        runner = PlateRunner(
+            PlateRunConfig(
+                method="unet", max_cells=64, min_size=10,
+                niter=100, flow_threshold=0.4,
+            ),
+            unet_params=params,
+        )
+        results = runner.run(layout, wells)
+        assert not results.failed_wells
+        assert results.tables["A01"] is not None
+        assert len(results.tables["A01"]) >= 1
+
 
 class TestSpatialPartitioning:
     def test_gspmd_collectives_are_sane(self):
