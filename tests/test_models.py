@@ -580,6 +580,25 @@ class TestDiffusePallas:
         )
         np.testing.assert_array_equal(a, b)
 
+    def test_vmap_parity(self):
+        """The batched segment program vmaps masks_to_flows; pallas_call
+        under vmap must stay exactly equal to the vmapped dense loop."""
+        import jax
+
+        from arcadia_microscopy_tools_tpu.models.flows_pallas import (
+            diffuse_pallas,
+            diffuse_xla,
+        )
+
+        cases = [self._case(128, s, 4) for s in (7, 8)]
+        L = jnp.stack([c[0] for c in cases])
+        S = jnp.stack([c[1] for c in cases])
+        a = jax.vmap(lambda l, s: diffuse_xla(l, s, 8))(L, S)
+        b = jax.vmap(
+            lambda l, s: diffuse_pallas(l, s, 8, ts=128, halo=4, interpret=True)
+        )(L, S)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_masks_to_flows_dense_loop_matches_diffuse_xla(self):
         # the fallback body inside masks_to_flows and diffuse_xla are the
         # same function; pin it so the Pallas parity tests above transfer
