@@ -148,6 +148,54 @@ class TestPlateBatchCompiled:
         for wid in wells:
             assert len(results.tables[wid]) == expected[wid]
 
+    def test_unet_plate_batch_on_chip(self, rng):
+        """The full deep well program (normalize -> S2D U-Net forward ->
+        sparse flow tracking -> Pallas-diffusion QC -> compact measurement)
+        through real Mosaic/XLA lowering on the chip."""
+        import pathlib
+
+        from arcadia_microscopy_tools_tpu.core.microplate import (
+            MicroplateLayout,
+            Well,
+        )
+        from arcadia_microscopy_tools_tpu.models.weights import load_checkpoint
+        from arcadia_microscopy_tools_tpu.parallel.plate import (
+            PlateRunConfig,
+            PlateRunner,
+        )
+
+        ckpt = pathlib.Path(__file__).parents[1] / "checkpoints" / "unet"
+        if not ckpt.exists():
+            import pytest
+
+            pytest.skip("trained checkpoint not present")
+        import sys
+
+        sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tests"))
+        from arcadia_microscopy_tools_tpu.models.synthetic import synthesize_cells
+
+        wells = {}
+        for wid in ("A01", "A02"):
+            img, _ = synthesize_cells(
+                np.random.default_rng(hash(wid) % 2**31), (512, 512),
+                n_cells=20, separation=0.95,
+            )
+            u16 = (img * 60000).astype(np.uint16)
+            wells[wid] = np.stack([u16, u16])
+        layout = MicroplateLayout([Well(id=w) for w in wells])
+        runner = PlateRunner(
+            PlateRunConfig(
+                method="unet", max_cells=128, min_size=15,
+                niter=200, flow_threshold=0.4, batch_size=2,
+            ),
+            unet_params=load_checkpoint(ckpt),
+        )
+        results = runner.run(layout, wells)
+        assert not results.failed_wells
+        for wid in wells:
+            assert results.tables[wid] is not None
+            assert len(results.tables[wid]) >= 10
+
 
 class TestDiffusePallasCompiled:
     """flows_pallas.diffuse_pallas through real Mosaic lowering: the
