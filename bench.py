@@ -282,7 +282,38 @@ def _bench_decode_inclusive(n_wells: int, H: int) -> None:
     }))
 
 
+def _probe_backend(timeout_s: float = 180.0) -> None:
+    """Fail fast (with a diagnosable message, NOT a bogus metric line) when
+    the device backend is unreachable: a wedged TPU tunnel makes
+    jax.devices() hang forever, which would otherwise hang the whole bench
+    with no output. The probe runs in a subprocess so the hang is killable."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            "bench: device backend unreachable (jax.devices() hung "
+            f"{timeout_s:.0f}s - wedged TPU tunnel?); refusing to hang",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    except subprocess.CalledProcessError as exc:
+        print(
+            f"bench: device backend probe failed: {exc.stderr.decode()[-500:]}",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+
+
 def main() -> None:
+    _probe_backend()
     import jax
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
