@@ -81,19 +81,29 @@ def _diffuse_kernel(lbl_hbm, t_hbm, src_hbm, out_ref, lbl_v, t_v, src_v, sems,
     lbl = lbl_v[:]
     src = src_v[:]
     fg = lbl > 0
-    # same-label neighbor masks are loop-invariant: hoist them (pad with -1
-    # like the dense loop; the tile's outer ring only feeds halo scratch)
-    lbl_pad = jnp.pad(lbl, 1, mode="constant", constant_values=-1)
-    same = [
-        lbl_pad[1 + dy : 1 + dy + size, 1 + dx : 1 + dx + size] == lbl
-        for dy, dx in _OFFS
-    ]
+
+    # Neighbor shifts as circular rolls (Mosaic-native; avoids in-kernel
+    # pad/concat). Wrap-around only corrupts the tile's outermost ring,
+    # and ring corruption propagates inward one pixel per iteration - with
+    # iters <= halo it never reaches the ts^2 interior that is written back,
+    # so the result stays bit-identical to the dense loop.
+    def shift(a, dy, dx):
+        # want shifted[i, j] = a[i+dy, j+dx]; pltpu.roll requires a
+        # non-negative shift s where rolled[i] = a[(i - s) % n]
+        out = a
+        if dy:
+            out = pltpu.roll(out, (-dy) % out.shape[0], 0)
+        if dx:
+            out = pltpu.roll(out, (-dx) % out.shape[1], 1)
+        return out
+
+    # same-label neighbor masks are loop-invariant: hoist them
+    same = [shift(lbl, dy, dx) == lbl for dy, dx in _OFFS]
 
     def body(_, T):
-        Tp = jnp.pad(T, 1)
         acc = T
         for (dy, dx), sm in zip(_OFFS, same):
-            acc = acc + jnp.where(sm, Tp[1 + dy : 1 + dy + size, 1 + dx : 1 + dx + size], 0.0)
+            acc = acc + jnp.where(sm, shift(T, dy, dx), 0.0)
         return jnp.where(fg, acc / 5.0 + src, 0.0)
 
     T = lax.fori_loop(0, iters, body, t_v[:])
