@@ -471,6 +471,7 @@ def _finish_masks_compact(
     sink_count: int = 3,
     sink_cap: int | None = None,
     clear_border_labels: bool = False,
+    allow_pallas: bool | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Compact-domain twin of `_finish_masks`: size filter, flow-error QC and
     sequential renumbering all run on (cap,)-sized arrays; the label image is
@@ -510,7 +511,7 @@ def _finish_masks_compact(
     )
 
     if flow_threshold > 0:
-        errors = flow_error(labels, flows, max_cells)
+        errors = flow_error(labels, flows, max_cells, allow_pallas=allow_pallas)
         bad = errors > flow_threshold
         bad_lut = jnp.concatenate([jnp.array([False]), bad])
         # present labels are contiguous 1..K after the first renumber, so a
@@ -563,7 +564,10 @@ def _diffuse_pallas_viable(shape: tuple[int, int]) -> bool:
 
 
 def masks_to_flows(
-    labels: jax.Array, max_cells: int, n_iter: int = 128
+    labels: jax.Array,
+    max_cells: int,
+    n_iter: int = 128,
+    allow_pallas: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Recompute flows from a label image (the Cellpose training-target /
     QC construction): diffuse heat from each cell's center within the cell,
@@ -573,14 +577,27 @@ def masks_to_flows(
     shape and backend allow it; the choice is resolved HERE, outside jit,
     into a static cache key (the `use_pallas_local` pattern of
     ops/labeling.py - toggles never invalidate other programs' caches).
+    `allow_pallas` (None = module default) lets callers that compile for a
+    different backend than `jax.devices()[0]` - CPU-pinned models, spatially
+    sharded (GSPMD-partitioned) programs where a Mosaic call could not be
+    partitioned along the sharded axis - force the pure-XLA dense loop.
+    When `labels` is a concrete committed array its own platform is used,
+    so CPU-placed computations on a TPU-attached host stay off the kernel.
 
     Returns:
         (flows (H, W, 2) float32 unit vectors, cellprob-proxy (H, W) bool).
     """
     shape = jnp.shape(labels)
-    return _masks_to_flows_impl(
-        labels, max_cells, n_iter, _diffuse_pallas_viable(shape)
-    )
+    viable = _diffuse_pallas_viable(shape)
+    devs = getattr(labels, "devices", None)
+    if viable and callable(devs):
+        try:
+            viable = all(d.platform != "cpu" for d in devs())
+        except Exception:  # tracers: fall through to the default resolution
+            pass
+    if allow_pallas is not None:
+        viable = viable and allow_pallas
+    return _masks_to_flows_impl(labels, max_cells, n_iter, viable)
 
 
 @partial(jax.jit, static_argnames=("max_cells", "n_iter", "use_pallas"))
@@ -649,17 +666,12 @@ def _masks_to_flows_impl(
 
         T = diffuse_pallas(lbl, source, n_iter, ts=_DIFFUSE_TS)
     else:
+        # the SAME function the Pallas parity tests compare against - one
+        # implementation, so the "bit-identical" guarantee covers production
+        # (its same-label masks CSE with same_nbr above under XLA)
+        from .flows_pallas import diffuse_xla
 
-        def diffuse(_, T):
-            Tp = jnp.pad(T, 1)
-            acc = T
-            for dy, dx in _DIFF_OFFS:
-                shifted = lax.dynamic_slice(Tp, (1 + dy, 1 + dx), (h, w))
-                acc = acc + jnp.where(same_nbr[(dy, dx)], shifted, 0.0)
-            T_new = acc / 5.0 + source
-            return jnp.where(fg, T_new, 0.0)
-
-        T = lax.fori_loop(0, n_iter, diffuse, source)
+        T = diffuse_xla(lbl, source, n_iter)
     T = jnp.log1p(T)
 
     # gradient (central differences within the mask)
@@ -677,17 +689,18 @@ def _masks_to_flows_impl(
     return jnp.stack([unit_y, unit_x], axis=-1), fg
 
 
-@partial(jax.jit, static_argnames=("max_cells",))
+@partial(jax.jit, static_argnames=("max_cells", "allow_pallas"))
 def flow_error(
     labels: jax.Array,
     predicted_flows: jax.Array,  # (H, W, 2) unit flows from the network
     max_cells: int,
+    allow_pallas: bool | None = None,
 ) -> jax.Array:
     """Per-mask mean squared error between predicted flows and the flows the
     mask itself implies (Cellpose's QC criterion). Returns (max_cells,)."""
     from ..ops.segment_reduce import segment_sums_matmul
 
-    computed, _ = masks_to_flows(labels, max_cells)
+    computed, _ = masks_to_flows(labels, max_cells, allow_pallas=allow_pallas)
     lbl = jnp.asarray(labels).astype(jnp.int32)
     nseg = max_cells + 1
     seg = jnp.clip(lbl.ravel(), 0, max_cells)
@@ -699,7 +712,10 @@ def flow_error(
 
 @partial(
     jax.jit,
-    static_argnames=("niter", "max_cells", "min_size", "flow_threshold", "sparse_cap"),
+    static_argnames=(
+        "niter", "max_cells", "min_size", "flow_threshold", "sparse_cap",
+        "allow_pallas",
+    ),
 )
 def compute_masks(
     network_output: jax.Array,  # (H, W, 3): dY, dX, cellprob logits
@@ -709,6 +725,7 @@ def compute_masks(
     max_cells: int = 1024,
     min_size: int = 15,
     sparse_cap: int | None = None,
+    allow_pallas: bool | None = None,
 ) -> jax.Array:
     """Full mask reconstruction: threshold cellprob, integrate flows, cluster
     sinks, QC by flow error, relabel sequentially. Returns int32 labels.
@@ -742,12 +759,18 @@ def compute_masks(
         )
     else:
         landing = follow_flows_indices(flows, active, niter=niter)
-    return _finish_masks(landing, active, flows, flow_threshold, max_cells, min_size)
+    return _finish_masks(
+        landing, active, flows, flow_threshold, max_cells, min_size,
+        allow_pallas=allow_pallas,
+    )
 
 
 @partial(
     jax.jit,
-    static_argnames=("niter", "max_cells", "min_size", "flow_threshold", "cap"),
+    static_argnames=(
+        "niter", "max_cells", "min_size", "flow_threshold", "cap",
+        "allow_pallas",
+    ),
 )
 def compute_masks_sparse(
     network_output: jax.Array,  # (H, W, 3): dY, dX, cellprob logits
@@ -757,6 +780,7 @@ def compute_masks_sparse(
     niter: int = 200,
     max_cells: int = 1024,
     min_size: int = 15,
+    allow_pallas: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """`compute_masks` with UNCONDITIONALLY sparse flow integration.
 
@@ -775,6 +799,7 @@ def compute_masks_sparse(
         niter=niter,
         max_cells=max_cells,
         min_size=min_size,
+        allow_pallas=allow_pallas,
     )
     return out.labels, out.ok
 
@@ -806,6 +831,7 @@ class CompactMasks(NamedTuple):
         "flow_threshold",
         "cap",
         "clear_border_labels",
+        "allow_pallas",
     ),
 )
 def compute_masks_sparse_compact(
@@ -817,6 +843,7 @@ def compute_masks_sparse_compact(
     max_cells: int = 1024,
     min_size: int = 15,
     clear_border_labels: bool = False,
+    allow_pallas: bool | None = None,
 ) -> CompactMasks:
     """`compute_masks_sparse` that also exposes the compact pixel set.
 
@@ -842,11 +869,15 @@ def compute_masks_sparse_compact(
         max_cells,
         min_size,
         clear_border_labels=clear_border_labels,
+        allow_pallas=allow_pallas,
     )
     return CompactMasks(labels, lab_c, idx, valid, ok & ~sink_ovf)
 
 
-def _finish_masks(landing, active, flows, flow_threshold, max_cells, min_size):
+def _finish_masks(
+    landing, active, flows, flow_threshold, max_cells, min_size,
+    allow_pallas=None,
+):
     """Shared tail of mask reconstruction: sink clustering, size filter,
     flow-error QC, sequential relabel."""
     from ..ops.labeling import relabel_sequential, relabel_sequential_filtered
@@ -859,7 +890,7 @@ def _finish_masks(landing, active, flows, flow_threshold, max_cells, min_size):
     if flow_threshold > 0:
         from ..ops.segment_reduce import table_lookup_matmul
 
-        errors = flow_error(labels, flows, max_cells)
+        errors = flow_error(labels, flows, max_cells, allow_pallas=allow_pallas)
         bad = errors > flow_threshold
         # map per-label badness back onto pixels (MXU lookup: the XLA gather
         # for this full-image read of a 1K table costs ~27 ms at 2048^2)

@@ -66,7 +66,12 @@ def find_best_available_device() -> jax.Device:
     return device
 
 
-@partial(jax.jit, static_argnames=("niter", "max_cells", "min_size", "flow_threshold"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "niter", "max_cells", "min_size", "flow_threshold", "allow_pallas",
+    ),
+)
 def _segment_program(
     params,
     image,  # (H, W, 3) float32, already normalized and padded
@@ -75,6 +80,7 @@ def _segment_program(
     niter: int,
     max_cells: int,
     min_size: int,
+    allow_pallas: bool | None = None,
 ):
     """One fused device program: U-Net forward + flow tracking + QC.
 
@@ -95,10 +101,16 @@ def _segment_program(
         niter=niter,
         max_cells=max_cells,
         min_size=min_size,
+        allow_pallas=allow_pallas,
     )
 
 
-@partial(jax.jit, static_argnames=("niter", "max_cells", "min_size", "flow_threshold"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "niter", "max_cells", "min_size", "flow_threshold", "allow_pallas",
+    ),
+)
 def _segment_program_batch(
     params,
     images,  # (B, H, W, 3) float32, already normalized and padded
@@ -107,6 +119,7 @@ def _segment_program_batch(
     niter: int,
     max_cells: int,
     min_size: int,
+    allow_pallas: bool | None = None,
 ):
     """Batched fused program: the whole batch is ONE device dispatch (forward
     + flow tracking + QC vmapped over images) - the reference's serial
@@ -125,6 +138,7 @@ def _segment_program_batch(
             niter=niter,
             max_cells=max_cells,
             min_size=min_size,
+            allow_pallas=allow_pallas,
         )
     )(out)
 
@@ -230,11 +244,27 @@ class SegmentationModel:
     def _network_fast(self):
         """The S2D-rewritten parameter tree for inference dispatches (built
         once, lazily; padded inputs are always a multiple of 16 so the S2D
-        forward is always applicable)."""
-        if self._s2d_params is None:
-            from .unet_s2d import s2d_params
+        forward is always applicable).
 
-            self._s2d_params = jax.device_put(s2d_params(self.network), self.device)
+        The rewrite only supports the default 4-level architecture
+        (`unet_s2d.apply_unet_s2d` hardcodes the level layout); checkpoints
+        with a different depth/width fall back to the plain parameter tree,
+        which `_segment_program` routes through the shape-generic
+        `apply_unet`."""
+        if self._s2d_params is None:
+            from .unet_s2d import s2d_params, s2d_supported
+
+            params = self.network
+            if s2d_supported(params, self._config):
+                self._s2d_params = jax.device_put(
+                    s2d_params(params), self.device
+                )
+            else:
+                logger.info(
+                    "checkpoint architecture not S2D-rewritable; using the "
+                    "plain forward"
+                )
+                self._s2d_params = params
         return self._s2d_params
 
     # kept as an alias so reference-style call sites keep working
@@ -354,6 +384,7 @@ class SegmentationModel:
                 self._resolve_niter(resolved),
                 self.max_cells,
                 self.min_size,
+                allow_pallas=self.device.platform != "cpu",
             )
             labels_np = np.asarray(labels[:hs, :ws])
             return self._upscale_labels(labels_np, (h, w)).astype(np.int64)
@@ -430,6 +461,7 @@ class SegmentationModel:
                     niter,
                     self.max_cells,
                     self.min_size,
+                    allow_pallas=self.device.platform != "cpu",
                 )
                 hs, ws = hws
                 masks[i] = self._upscale_labels(
@@ -454,6 +486,7 @@ class SegmentationModel:
                         niter,
                         self.max_cells,
                         self.min_size,
+                        allow_pallas=self.device.platform != "cpu",
                     )
                     labels_h = np.asarray(labels)
                     for k, (i, _, hw, (hs, ws)) in enumerate(chunk):

@@ -39,9 +39,27 @@ from jax import lax
 
 from .unet import UNetConfig, _conv2d, _max_pool, _upsample2
 
-__all__ = ["s2d_params", "apply_unet_s2d"]
+__all__ = ["s2d_params", "apply_unet_s2d", "s2d_supported"]
 
 Params = dict[str, Any]
+
+
+def s2d_supported(params: Params, config: UNetConfig | None = None) -> bool:
+    """True when `params` has the level layout `apply_unet_s2d` hardcodes:
+    4 encoder levels / 3 decoder blocks with the config's base_channels
+    widths. Checkpoints with any other architecture must use the
+    shape-generic `unet.apply_unet`."""
+    config = config or UNetConfig()
+    nb = config.base_channels
+    try:
+        down, up = params["down"], params["up"]
+        if len(down) != 4 or len(up) != 3 or len(nb) < 3:
+            return False
+        return all(
+            down[i]["gn1_scale"].shape[0] == nb[i] for i in range(3)
+        ) and up[1]["gn1_scale"].shape[0] == nb[1]
+    except (KeyError, TypeError, IndexError, AttributeError):
+        return False
 
 
 def _s2d_conv_kernel(w: np.ndarray) -> np.ndarray:

@@ -79,6 +79,14 @@ def create_multihost_mesh(
     recipe of the scaling playbook). Works identically on a virtual CPU
     topology, which is how `dryrun_multichip` exercises it without a second
     host.
+
+    Scope: this builds the mesh for a SINGLE-CONTROLLER program (one Python
+    process seeing all devices - megascale/virtual topologies, or
+    jax.distributed single-controller runs). On multi-PROCESS deployments
+    each process must additionally construct its batch shards with
+    `jax.make_array_from_process_local_data` and gather results with
+    `multihost_utils` - `PlateRunner`'s host-side feeding does not do that
+    yet and is validated on single-controller topologies only.
     """
     config = config or MeshConfig()
     devices = config.resolve_devices()

@@ -224,7 +224,8 @@ def _build_well_program(
         bit-exactly at ~1/10 the cost.
         """
         from ..models.flows import compute_masks_sparse_compact
-        from ..models.unet_s2d import apply_unet_s2d, s2d_params
+        from ..models.unet import apply_unet
+        from ..models.unet_s2d import apply_unet_s2d, s2d_params, s2d_supported
         from ..ops.fused import _percentile_from_cum
         from ..ops.stats import histogram_int
 
@@ -249,7 +250,12 @@ def _build_well_program(
         # exact to float tolerance (models/unet_s2d.py; 214 -> ~50
         # ms/img at 2048^2). Params are concrete at trace time, so the
         # rewrite happens once host-side and bakes into the program.
-        out = apply_unet_s2d(s2d_params(unet_params), net_in)[0]
+        # Checkpoints with a non-default architecture take the
+        # shape-generic plain forward.
+        if s2d_supported(unet_params):
+            out = apply_unet_s2d(s2d_params(unet_params), net_in)[0]
+        else:
+            out = apply_unet(unet_params, net_in)[0]
         if ph or pw:
             out = out[:h, :w]
         # active-pixel cap for the sparse flow integration: same sizing as
@@ -265,6 +271,10 @@ def _build_well_program(
             max_cells=config.max_cells,
             min_size=config.min_size,
             clear_border_labels=config.remove_edge_cells,
+            # a Mosaic custom call cannot be partitioned along a sharded
+            # image axis - the spatially-sharded program takes the pure-XLA
+            # diffusion, same as the classical path's allow_pallas gate
+            allow_pallas=not spatial,
         )
 
     def well_fn(img):  # (C, H, W) uint16
@@ -388,7 +398,9 @@ class PlateRunner:
         """`mesh` overrides `mesh_config` with a pre-built mesh - pass a
         `create_multihost_mesh(...)` result to spread the plate over multiple
         slices (the hosts axis shards the batch alongside wells; see
-        parallel/mesh.py for the DCN layout rationale)."""
+        parallel/mesh.py for the DCN layout rationale and the
+        single-controller scope: on multi-process deployments the batch
+        feeding here would need jax.make_array_from_process_local_data)."""
         self.config = config or PlateRunConfig()
         self.mesh = mesh if mesh is not None else create_mesh(mesh_config)
         self.unet_params = unet_params
@@ -432,6 +444,7 @@ class PlateRunner:
     def _get_compiled(
         self, n_channels: int, shape: tuple[int, int], config: PlateRunConfig | None = None
     ):
+        from ..models import flows as _flows
         from ..ops import labeling as _labeling
 
         config = config or self.config
@@ -441,10 +454,11 @@ class PlateRunner:
             config.fg_cap_fraction,
             config.max_cells,
             config.pair_cap,
-            # the Pallas-CC module toggle is read at trace time inside the
-            # well program; keying on it keeps this cache coherent when
-            # use_pallas_local() flips between runs
+            # the Pallas module toggles (CC kernel, diffusion kernel) are
+            # read at trace time inside the well program; keying on them
+            # keeps this cache coherent when either flips between runs
             _labeling._USE_PALLAS_LOCAL,
+            _flows._USE_PALLAS_DIFFUSE,
         )
         if key not in self._compiled:
             spatial = self.mesh.shape[SPACE_AXIS] > 1

@@ -169,15 +169,12 @@ class TestPlateBatchCompiled:
             import pytest
 
             pytest.skip("trained checkpoint not present")
-        import sys
-
-        sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tests"))
         from arcadia_microscopy_tools_tpu.models.synthetic import synthesize_cells
 
         wells = {}
-        for wid in ("A01", "A02"):
+        for seed, wid in enumerate(("A01", "A02")):
             img, _ = synthesize_cells(
-                np.random.default_rng(hash(wid) % 2**31), (512, 512),
+                np.random.default_rng(seed), (512, 512),
                 n_cells=20, separation=0.95,
             )
             u16 = (img * 60000).astype(np.uint16)
