@@ -466,6 +466,29 @@ class TestUNetS2D:
         b = np.asarray(apply_unet_s2d(sp, x, cfg))
         np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-4)
 
+    def test_s2d_supported_guard(self, unet_params):
+        """Non-default architectures must be detected as unsupported so the
+        model wrapper and plate program fall back to the plain forward."""
+        from arcadia_microscopy_tools_tpu.models.unet_s2d import s2d_supported
+
+        assert s2d_supported(unet_params)
+        shallow = init_unet(
+            jax.random.PRNGKey(0), UNetConfig(base_channels=(16, 32, 64))
+        )
+        assert not s2d_supported(shallow)
+        assert not s2d_supported({"not": "a unet tree"})
+
+    def test_model_falls_back_on_nondefault_checkpoint(self):
+        """SegmentationModel with a non-S2D-rewritable parameter tree keeps
+        segmenting through the plain forward."""
+        model = SegmentationModel(device=jax.devices()[0], min_size=1)
+        model._params = init_unet(
+            jax.random.PRNGKey(0), UNetConfig(base_channels=(16, 32, 64))
+        )
+        # _network_fast must hand back the plain tree, not crash
+        fast = model._network_fast
+        assert "down" in fast and "down0" not in fast
+
     def test_matches_at_production_dtype(self, unet_params):
         """Default config = bfloat16 (the plate path's dtype): the rewrite
         must track the plain forward within bf16 noise - the downstream
