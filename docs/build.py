@@ -59,13 +59,46 @@ def percent_script_to_notebook(path: Path) -> nbformat.NotebookNode:
     return nb
 
 
+def _device_backend_usable(timeout_s: float = 120.0) -> bool:
+    """A wedged TPU tunnel makes jax.devices() hang forever inside notebook
+    kernels; probe it in a killable subprocess and fall back to CPU kernels
+    (JAX_PLATFORMS handled by each example's own config preamble) so the
+    docs always build."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
 def build(execute: bool = True) -> None:
     BUILD.mkdir(exist_ok=True)
     exporter = HTMLExporter()
     pages = []
 
+    force_cpu = execute and not _device_backend_usable()
+    if force_cpu:
+        print("device backend unreachable; executing notebooks on CPU", flush=True)
+
     for script in sorted((DOCS / "examples").glob("*.py")):
         nb = percent_script_to_notebook(script)
+        if force_cpu:
+            # env vars alone cannot override this environment's
+            # sitecustomize TPU plugin; only a pre-initialization config
+            # update reliably selects the CPU backend in the kernel
+            nb.cells.insert(
+                0,
+                nbformat.v4.new_code_cell(
+                    "import jax\njax.config.update('jax_platforms', 'cpu')"
+                ),
+            )
         if execute:
             print(f"executing {script.name} ...", flush=True)
             ep = ExecutePreprocessor(timeout=1200, kernel_name="python3")
