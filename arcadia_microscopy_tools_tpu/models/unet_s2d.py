@@ -21,8 +21,11 @@ one group's reduction set; 2x2 max-pool after an S2D level is a free max
 over the 4 sub-position channels.
 
 The deep levels (512^2 and below, >=128 channels) already saturate the MXU
-and keep their dense kernels. Measured on the 2048^2 plate path: forward
-214 -> ~50 ms/img (profile_deep.py).
+and keep their dense kernels. The plain forward measured 214 ms/img at
+2048^2 with the narrow levels dominating (per-level conv microbenchmarks:
+32-ch conv ~5 TFLOP/s vs 128-ch ~150 TFLOP/s on v5e), so the rewrite's
+expected forward is a few tens of ms; run profile_deep.py on a chip for
+the measured split (PROF_PLAIN_FWD=1 times both forwards side by side).
 
 Replaces the serial Cellpose dispatch of the reference
 (`src/arcadia_microscopy_tools/model.py:276-288`) on the fast path.

@@ -247,11 +247,11 @@ def _build_well_program(
         net_in = jnp.stack([xn, xn, xn], axis=-1)[None]
         # space-to-depth forward: the narrow high-res conv levels run
         # 4x channel-wide at quarter area - full MXU lane occupancy,
-        # exact to float tolerance (models/unet_s2d.py; 214 -> ~50
-        # ms/img at 2048^2). Params are concrete at trace time, so the
-        # rewrite happens once host-side and bakes into the program.
-        # Checkpoints with a non-default architecture take the
-        # shape-generic plain forward.
+        # exact to float tolerance (models/unet_s2d.py; the plain forward
+        # measured 214 ms/img at 2048^2 with those levels dominating).
+        # Params are concrete at trace time, so the rewrite happens once
+        # host-side and bakes into the program. Checkpoints with a
+        # non-default architecture take the shape-generic plain forward.
         if s2d_supported(unet_params):
             out = apply_unet_s2d(s2d_params(unet_params), net_in)[0]
         else:
