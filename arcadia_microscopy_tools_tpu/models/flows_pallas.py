@@ -9,15 +9,27 @@ over the full label image. As plain XLA each iteration is a full-image HBM
 round trip (~1.1 ms at 2048^2 -> ~144 ms total, the second-largest deep-path
 stage). This kernel applies the classic overlapped-tiling ("temporal
 blocking") stencil transform: each grid cell DMAs one (ts + 2*halo)^2 tile
-into VMEM and runs `halo` iterations there before writing the exact ts^2
-interior back - HBM traffic drops by a factor of `halo` (16), and the
+into VMEM and runs up to `halo` iterations there before writing the exact
+ts^2 interior back - HBM traffic drops by a factor of `halo`, and the
 stencil itself runs at VPU speed on VMEM-resident values.
 
 After k iterations, values within distance (halo - k) of the tile edge are
 still exact, so the interior is bit-identical to the dense loop (pinned by
-tests/test_models.py against the XLA fallback). Inputs are pre-padded by
-`halo` so every DMA is in bounds; label padding 0 = background reproduces
-the dense loop's zero-flux boundary.
+tests/test_models.py in interpreter mode and tests_tpu/ through real Mosaic
+lowering). Inputs are pre-padded by `halo` so every DMA is in bounds; label
+padding 0 = background reproduces the dense loop's zero-flux boundary.
+
+Mosaic constraints shape two choices here (both caught by the on-chip lane,
+not interpret mode):
+- HBM->VMEM DMA slices must be lane-aligned: the tile edge ts + 2*halo has
+  to be a multiple of 128, hence the default halo of 64 (512 + 2*64 = 640).
+  A larger halo also means fewer passes (128 iterations = 2 passes).
+- A vmapped pallas_call over ANY-memory-space operands produces a batched
+  BlockSpec Mosaic cannot lower, so the per-pass call carries a
+  `sequential_vmap` rule: under vmap (the plate path maps well programs
+  with jax.vmap) the batch lowers to lax.map over the 2D kernel. That costs
+  nothing - a Pallas grid executes sequentially on a TensorCore anyway, so
+  batch-in-grid and batch-in-lax.map schedule identically.
 """
 
 from __future__ import annotations
@@ -110,39 +122,20 @@ def _diffuse_kernel(lbl_hbm, t_hbm, src_hbm, out_ref, lbl_v, t_v, src_v, sems,
     out_ref[:] = T[halo : halo + ts, halo : halo + ts]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_iter", "ts", "halo", "interpret")
-)
-def diffuse_pallas(
-    lbl: jax.Array,
-    source: jax.Array,
-    n_iter: int,
-    ts: int = 512,
-    halo: int = 16,
-    interpret: bool = False,
-) -> jax.Array:
-    """Temporally-blocked diffusion; H and W must be multiples of `ts`.
-
-    Runs ceil(n_iter / halo) Pallas passes of `halo` iterations each (the
-    last pass runs the remainder). Exactly equal to `diffuse_xla`.
-    """
-    h, w = lbl.shape
-    assert h % ts == 0 and w % ts == 0, (h, w, ts)
+@functools.lru_cache(maxsize=None)
+def _make_pass(ts: int, halo: int, iters: int, interpret: bool):
+    """One temporally-blocked pass (`iters` <= `halo` Jacobi iterations) as
+    a sequentially-vmappable function of the halo-padded operands."""
     size = ts + 2 * halo
-    grid = (h // ts, w // ts)
 
-    T = source
-    remaining = n_iter
-    while remaining > 0:
-        iters = min(halo, remaining)
-        remaining -= iters
-        lbl_p = jnp.pad(lbl, halo)  # 0 = background beyond the image
-        t_p = jnp.pad(T, halo)
-        src_p = jnp.pad(source, halo)
-        T = pl.pallas_call(
+    @jax.custom_batching.sequential_vmap
+    def one_pass(lbl_p: jax.Array, t_p: jax.Array, src_p: jax.Array):
+        hp, wp = lbl_p.shape
+        h, w = hp - 2 * halo, wp - 2 * halo
+        return pl.pallas_call(
             functools.partial(_diffuse_kernel, ts=ts, halo=halo, iters=iters),
             out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
-            grid=grid,
+            grid=(h // ts, w // ts),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -159,4 +152,44 @@ def diffuse_pallas(
             ],
             interpret=interpret,
         )(lbl_p, t_p, src_p)
+
+    return one_pass
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "ts", "halo", "interpret")
+)
+def diffuse_pallas(
+    lbl: jax.Array,
+    source: jax.Array,
+    n_iter: int,
+    ts: int = 512,
+    halo: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """Temporally-blocked diffusion; H and W must be multiples of `ts`.
+
+    Runs ceil(n_iter / halo) Pallas passes of `halo` iterations each (the
+    last pass runs the remainder). Exactly equal to `diffuse_xla`. For
+    compiled (non-interpret) runs, `ts + 2*halo` must be a multiple of 128
+    (Mosaic DMA lane alignment) and of 8 (sublane alignment).
+    """
+    h, w = lbl.shape
+    assert h % ts == 0 and w % ts == 0, (h, w, ts)
+    size = ts + 2 * halo
+    if not interpret:
+        assert size % 128 == 0, (
+            f"compiled diffuse_pallas needs (ts + 2*halo) % 128 == 0 for "
+            f"DMA lane alignment; got ts={ts}, halo={halo} -> {size}"
+        )
+
+    T = source
+    remaining = n_iter
+    while remaining > 0:
+        iters = min(halo, remaining)
+        remaining -= iters
+        lbl_p = jnp.pad(lbl, halo)  # 0 = background beyond the image
+        t_p = jnp.pad(T, halo)
+        src_p = jnp.pad(source, halo)
+        T = _make_pass(ts, halo, iters, interpret)(lbl_p, t_p, src_p)
     return T
