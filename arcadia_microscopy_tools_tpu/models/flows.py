@@ -547,9 +547,15 @@ def _finish_masks_compact(
     return labels, lab_c, sink_overflow
 
 
-# Pallas temporally-blocked diffusion kernel (flows_pallas.py): default ON
-# for accelerator backends; AMT_PALLAS_DIFFUSE=0 forces the dense XLA loop.
-_USE_PALLAS_DIFFUSE = os.environ.get("AMT_PALLAS_DIFFUSE", "1") != "0"
+# Pallas temporally-blocked diffusion kernel (flows_pallas.py): OPT-IN via
+# AMT_PALLAS_DIFFUSE=1. Measured on a real v5e chip (round 3), the dense XLA
+# loop runs the 128-iteration diffusion at 2048^2 in ~8.2 ms/img - at the
+# HBM roofline, XLA fuses each iteration into one pass - while the Pallas
+# kernel measured ~12 ms/img at ts=256 (the roll-based shifts and halo
+# recompute cost more than the saved HBM traffic) and exceeds the 16 MB
+# scoped-vmem limit at ts=512 on 2048^2 inputs. The kernel is kept for
+# hardware where the tradeoff flips; the dense loop is the default.
+_USE_PALLAS_DIFFUSE = os.environ.get("AMT_PALLAS_DIFFUSE", "0") == "1"
 _DIFFUSE_TS = 256
 
 
@@ -659,15 +665,13 @@ def _masks_to_flows_impl(
     }
 
     if use_pallas:
-        # temporally-blocked Pallas stencil: 16 iterations per VMEM-resident
-        # tile pass instead of one full-image HBM round trip per iteration
-        # (~16x less HBM traffic; exact - see models/flows_pallas.py)
+        # opt-in temporally-blocked Pallas stencil (see the module toggle
+        # note above - the dense loop measured faster on v5e). ts stays at
+        # 256: ts=512 with halo 64 exceeds the 16 MB scoped-vmem limit on
+        # 2048^2 inputs (16.15 MB > 16 MB, measured on-chip round 3).
         from .flows_pallas import diffuse_pallas
 
-        # 512^2 tiles when the shape allows (less halo-overlap waste:
-        # (640/512)^2 = 1.56x redundant compute vs 2.25x at 256^2 tiles)
-        ts = 512 if (h % 512 == 0 and w % 512 == 0) else _DIFFUSE_TS
-        T = diffuse_pallas(lbl, source, n_iter, ts=ts)
+        T = diffuse_pallas(lbl, source, n_iter, ts=_DIFFUSE_TS)
     else:
         # the SAME function the Pallas parity tests compare against - one
         # implementation, so the "bit-identical" guarantee covers production

@@ -5,13 +5,20 @@ reference model.py:49-64 / dynamics) runs n_iter=128 Jacobi iterations of
 
     T <- where(fg, (T + sum_{4-nbr, same label} T) / 5 + source, 0)
 
-over the full label image. As plain XLA each iteration is a full-image HBM
-round trip (~1.1 ms at 2048^2 -> ~144 ms total, the second-largest deep-path
-stage). This kernel applies the classic overlapped-tiling ("temporal
-blocking") stencil transform: each grid cell DMAs one (ts + 2*halo)^2 tile
-into VMEM and runs up to `halo` iterations there before writing the exact
-ts^2 interior back - HBM traffic drops by a factor of `halo`, and the
-stencil itself runs at VPU speed on VMEM-resident values.
+over the full label image. This kernel applies the classic overlapped-tiling
+("temporal blocking") stencil transform: each grid cell DMAs one
+(ts + 2*halo)^2 tile into VMEM and runs up to `halo` iterations there before
+writing the exact ts^2 interior back - HBM traffic drops by a factor of
+`halo`, and the stencil itself runs at VPU speed on VMEM-resident values.
+
+STATUS (measured on a real v5e chip, round 3): the kernel is OPT-IN and the
+dense XLA loop is the production default. XLA fuses each dense iteration
+into a single HBM pass, landing the 128-iteration 2048^2 diffusion at
+~8.2 ms/img - the HBM roofline - while this kernel measured ~12 ms/img at
+ts=256 (pltpu.roll shifts plus the 2.25x halo-overlap recompute outweigh
+the traffic saved) and ts=512/halo=64 exceeds the 16 MB scoped-vmem limit
+on 2048^2 inputs (16.15 MB scoped allocation, Mosaic stack OOM). Kept,
+parity-tested, for hardware/shape regimes where the tradeoff flips.
 
 After k iterations, values within distance (halo - k) of the tile edge are
 still exact, so the interior is bit-identical to the dense loop (pinned by
@@ -163,7 +170,7 @@ def diffuse_pallas(
     lbl: jax.Array,
     source: jax.Array,
     n_iter: int,
-    ts: int = 512,
+    ts: int = 256,
     halo: int = 64,
     interpret: bool = False,
 ) -> jax.Array:
@@ -172,7 +179,9 @@ def diffuse_pallas(
     Runs ceil(n_iter / halo) Pallas passes of `halo` iterations each (the
     last pass runs the remainder). Exactly equal to `diffuse_xla`. For
     compiled (non-interpret) runs, `ts + 2*halo` must be a multiple of 128
-    (Mosaic DMA lane alignment) and of 8 (sublane alignment).
+    (Mosaic DMA lane alignment) and of 8 (sublane alignment). ts defaults
+    to 256: ts=512 with halo 64 exceeds the 16 MB scoped-vmem limit when
+    compiled against 2048^2 inputs (measured on v5e, round 3).
     """
     h, w = lbl.shape
     assert h % ts == 0 and w % ts == 0, (h, w, ts)

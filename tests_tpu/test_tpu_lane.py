@@ -226,8 +226,8 @@ class TestDiffusePallasCompiled:
         np.testing.assert_array_equal(a, b)
 
     def test_masks_to_flows_routes_through_kernel(self, rng):
-        """masks_to_flows at a kernel-viable shape must produce the same
-        flows as with the kernel disabled (AMT_PALLAS_DIFFUSE kill switch)."""
+        """masks_to_flows with the (opt-in) Pallas kernel forced on must
+        produce the same flows as the default dense-XLA path."""
         import jax.numpy as jnp
 
         from arcadia_microscopy_tools_tpu.models import flows as F
@@ -239,7 +239,7 @@ class TestDiffusePallasCompiled:
             lbl[(yy - cy) ** 2 + (xx - cx) ** 2 < 144] = k
         fl_a, _ = F.masks_to_flows(jnp.asarray(lbl), max_cells=8, n_iter=32)
         old = F._USE_PALLAS_DIFFUSE
-        F._USE_PALLAS_DIFFUSE = False
+        F._USE_PALLAS_DIFFUSE = True
         try:
             fl_b, _ = F.masks_to_flows(
                 jnp.asarray(lbl), max_cells=8, n_iter=32
