@@ -110,6 +110,14 @@ def qc(labels, out):
 
 
 @jax.jit
+def qc_compact(idx, valid, lab_c, labels, out):
+    flows = out[..., :2] / 5.0
+    return F._flow_error_compact(
+        idx, valid, lab_c, labels, flows, MAX_CELLS, use_pallas=False
+    )
+
+
+@jax.jit
 def diffusion_only(labels):
     return F.masks_to_flows(labels, MAX_CELLS)
 
@@ -130,6 +138,10 @@ rec = timeit(
 labels = rec[0]
 timeit("QC flow_error (masks_to_flows+MSE)", stage_all(qc), labels, out)
 timeit("  of which masks_to_flows diffusion", stage_all(diffusion_only), labels)
+timeit(
+    "QC flow_error compact (production path)",
+    stage_all(qc_compact), idx, valid, rec[1], labels, out,
+)
 
 # measurement tail
 from jax import lax

@@ -122,6 +122,39 @@ class TestFlows:
         n = lbl.max()
         assert np.median(errors[:n]) > 0.4
 
+    def test_flow_error_compact_matches_dense(self, rng):
+        """_flow_error_compact (per-label reductions on the compacted active
+        set) must reproduce the full-image flow_error: centers bit-identical
+        (integer-valued f32 sums), MSE to float tolerance (different f32
+        summation grouping)."""
+        from arcadia_microscopy_tools_tpu.models.flows import _flow_error_compact
+
+        h = w = 96
+        img, lbl = synthesize_cells(rng, (h, w), n_cells=6)
+        pred = jnp.asarray(rng.normal(0, 0.5, (h, w, 2)).astype(np.float32))
+        dense = np.asarray(flow_error(jnp.asarray(lbl), pred, 32))
+
+        # build the compact view the _finish_masks_compact invariant demands:
+        # labels is exactly the scatter of lab_c at idx
+        cap = 8192
+        flat = lbl.ravel()
+        order = np.argsort(~(flat > 0), kind="stable")  # active pixels first
+        n_act = int((flat > 0).sum())
+        idx = np.full((cap,), h * w, np.int32)
+        idx[:n_act] = order[:n_act]
+        valid = np.zeros((cap,), bool)
+        valid[:n_act] = True
+        lab_c = np.zeros((cap,), np.int32)
+        lab_c[:n_act] = flat[order[:n_act]]
+
+        compact = np.asarray(
+            _flow_error_compact(
+                jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(lab_c),
+                jnp.asarray(lbl), pred, 32, use_pallas=False,
+            )
+        )
+        np.testing.assert_allclose(compact, dense, rtol=1e-5, atol=1e-6)
+
     def test_follow_flows_converges_to_center(self):
         # constant inward flow on a square cell
         h = w = 32
