@@ -163,7 +163,18 @@ def _follow_sparse_core(
 
     n_active = jnp.sum(act)
     ok = n_active <= cap
-    (idx,) = jnp.nonzero(act, size=cap, fill_value=n)  # (cap,) flat indices
+    # compaction via ONE int32 sort: active pixels keep their flat index,
+    # inactive ones are offset past n, so the first `cap` sorted keys are
+    # exactly the ascending active indices (n-filled when fewer). This is
+    # what jnp.nonzero(size=cap, fill_value=n) computes, but nonzero's
+    # cumsum+scatter lowering measured 37 ms/img at 2048^2 on v5e while the
+    # sort runs in ~11 ms (scatters serialize on TPU; sorts don't).
+    sorted_keys = lax.sort(jnp.where(act, own, n + own))
+    if cap <= n:
+        head = sorted_keys[:cap]
+    else:  # small images: pad to the static cap like nonzero(size=cap) does
+        head = jnp.pad(sorted_keys, (0, cap - n), constant_values=n)
+    idx = jnp.where(head < n, head, n)
     valid = idx < n
     idx_safe = jnp.where(valid, idx, 0)
 
