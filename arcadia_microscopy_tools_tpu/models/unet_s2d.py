@@ -148,14 +148,29 @@ def _d2s(x: jax.Array, c: int) -> jax.Array:
 
 def _group_norm_s2d(x, scale, bias, groups, orig_c):
     """GroupNorm whose reduction set matches the pre-S2D layout: statistics
-    pool over (H, W, the 4 sub-positions, the group's original channels)."""
+    pool over (H, W, the 4 sub-positions, the group's original channels).
+
+    Reduction order mirrors `unet._group_norm`: spatial sums over the
+    contiguous (H, W) axes first, then the (sub-position, in-group channel)
+    fold on the tiny (B, C4) row - the direct strided 6-D reduction lowers
+    ~200x slower on TPU. Flat S2D channel a*orig_c+c belongs to group
+    c // (orig_c // g)."""
     b, h, w, c4 = x.shape
     g = min(groups, orig_c)
-    xf = x.astype(jnp.float32).reshape(b, h, w, 4, g, orig_c // g)
-    mean = jnp.mean(xf, axis=(1, 2, 3, 5), keepdims=True)
-    var = jnp.var(xf, axis=(1, 2, 3, 5), keepdims=True)
-    xn = ((xf - mean) * lax.rsqrt(var + 1e-5)).reshape(b, h, w, c4)
-    return xn * scale + bias
+    cg = orig_c // g
+    n = h * w * 4 * cg
+    ch_group = (jnp.arange(c4) % orig_c) // cg  # (c4,) group id per channel
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))  # (b, c4)
+    mean = (
+        jnp.zeros((b, g), jnp.float32).at[:, ch_group].add(s1) / n
+    )  # segment-sum the 4*cg channels of each group
+    mean_c = mean[:, ch_group][:, None, None, :]
+    d = xf - mean_c
+    s2 = jnp.sum(d * d, axis=(1, 2))
+    var = jnp.zeros((b, g), jnp.float32).at[:, ch_group].add(s2) / n
+    inv_c = lax.rsqrt(var + 1e-5)[:, ch_group][:, None, None, :]
+    return (d * inv_c) * scale + bias
 
 
 def _conv_block_s2d(block: Params, x, groups, dtype):
@@ -164,10 +179,12 @@ def _conv_block_s2d(block: Params, x, groups, dtype):
     shape, keeping the parameter tree jit-traceable (ints in the tree would
     become tracers)."""
     orig_c = block["gn1_scale"].shape[0] // 4
-    h = _conv2d(x, block["conv1"], dtype)
+    # optimization_barrier between conv and GN: see unet._conv_block (fusing
+    # the GN reduction into the conv epilogue pessimizes the conv ~2x).
+    h = lax.optimization_barrier(_conv2d(x, block["conv1"], dtype))
     h = _group_norm_s2d(h, block["gn1_scale"], block["gn1_bias"], groups, orig_c)
     h = jax.nn.relu(h)
-    h = _conv2d(h, block["conv2"], dtype)
+    h = lax.optimization_barrier(_conv2d(h.astype(dtype), block["conv2"], dtype))
     h = _group_norm_s2d(h, block["gn2_scale"], block["gn2_bias"], groups, orig_c)
     skip = x
     if "proj" in block:
