@@ -402,35 +402,45 @@ def _cluster_landings_compact(
     real = sink_pos < n
     iota_s = jnp.arange(sink_cap, dtype=jnp.int32)
 
-    # 48-offset adjacency (Chebyshev <= 3) via a scattered position->slot
-    # map: sink_cap updates + 48*sink_cap gathers (~10 ms). The previous
-    # stacked searchsorted was 90 ms at sink_cap 16384 - XLA lowers binary
-    # search to log2(S) serialized gather rounds per query.
-    offsets = [
-        (dy, dx)
-        for dy in range(-3, 4)
-        for dx in range(-3, 4)
-        if not (dy == 0 and dx == 0)
-    ]
-    qs = []
-    for dy, dx in offsets:
-        in_b = real & (sy + dy >= 0) & (sy + dy < h) & (sx + dx >= 0) & (sx + dx < w)
-        qs.append(jnp.where(in_b, sink_pos + dy * w + dx, n))
-    queries = jnp.stack(qs)  # (48, sink_cap)
-    # padding slots write out of bounds (n + 1) and are dropped, so the real
-    # sink positions are genuinely unique and the hint is sound
-    slot_img = jnp.full((n + 1,), sink_cap, jnp.int32).at[
-        jnp.where(real, sink_pos, n + 1)
-    ].set(iota_s, mode="drop", unique_indices=True)
-    j = slot_img[queries]  # sink_cap sentinel on misses / out-of-image
-    hit = (j < sink_cap) & (queries < n)
-    nbr = jnp.where(hit, j, iota_s[None, :])  # neighbor index or self
+    # Chebyshev-<=3 adjacency via a DENSE separable window-min, not a
+    # gather: per union-find round, scatter each sink's representative into
+    # a full-image buffer (sentinel elsewhere), take the 7x7 window min with
+    # 12 shifted-min passes (pure VPU/HBM-streaming work), and read it back
+    # at the sink positions with one sink_cap-sized gather. The previous
+    # explicit 48-neighbor adjacency (slot-image scatter + (48, sink_cap)
+    # gather per round) paid TPU gather cost on ~790K elements every round:
+    # 13 ms to build + ~10 ms/round, 74 ms/img total at 2048^2 on v5e; this
+    # formulation measures ~9 ms/img for identical representatives.
+    def _window_min7(img2d):
+        p = jnp.pad(img2d, 3, constant_values=sink_cap)
+        r = p
+        for d in range(-3, 4):
+            if d == 0:
+                continue
+            # rolls by <=3 on a 3-padded image only wrap sentinel rows/cols,
+            # so they are exact shift-with-sentinel-fill
+            r = jnp.minimum(r, jnp.roll(p, d, axis=0))
+        r2 = r
+        for d in range(-3, 4):
+            if d == 0:
+                continue
+            r2 = jnp.minimum(r2, jnp.roll(r, d, axis=1))
+        return r2[3:-3, 3:-3]
 
-    # union-find by min-index propagation + pointer jumping (tiny arrays;
-    # O(log) rounds regardless of cluster shape)
+    # union-find by min-index propagation + pointer jumping (O(log) rounds
+    # regardless of cluster shape)
+    sink_pos_safe = jnp.where(real, sink_pos, n)
+
     def uf_body(state):
         rep, _ = state
-        new = jnp.minimum(rep, jnp.min(rep[nbr], axis=0))
+        img = (
+            jnp.full((n,), sink_cap, jnp.int32)
+            .at[sink_pos_safe]
+            .set(rep, mode="drop")
+        )
+        m = _window_min7(img.reshape(h, w)).ravel()
+        nm = m[jnp.where(real, sink_pos, 0)]
+        new = jnp.minimum(rep, jnp.where(real, nm, rep))
         new = new[new]
         return new, jnp.any(new != rep)
 
