@@ -161,15 +161,25 @@ class Pipeline:
         The reference's parallel mode is a host thread pool; here each frame
         is an independent program instance, so laying the stack out over a
         1-D device mesh makes XLA run the vmapped fold data-parallel with no
-        collectives. Falls back to single-device layout when the frame count
-        does not divide the device count (GSPMD would force uneven padding).
+        collectives. A frame count that does not divide the device count is
+        padded (repeating the last frame) so every device still gets an equal
+        shard instead of silently degrading to one device; the caller slices
+        the result back to the true count.
+
+        Returns (sharded array, true frame count).
         """
+        n = x.shape[0]
         devices = jax.devices()
-        if len(devices) <= 1 or x.shape[0] % len(devices) != 0:
-            return x
+        if len(devices) <= 1:
+            return x, n
+        ndev = len(devices)
+        rem = n % ndev
+        if rem:
+            pad = jnp.broadcast_to(x[-1:], (ndev - rem,) + x.shape[1:])
+            x = jnp.concatenate([x, pad], axis=0)
         mesh = jax.sharding.Mesh(np.array(devices), ("frames",))
         spec = jax.sharding.PartitionSpec("frames")
-        return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
+        return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec)), n
 
     def __call__(self, intensities):
         """Run the fused fold on *intensities* (vmapped over axis 0 when
@@ -196,10 +206,13 @@ class Pipeline:
             )
 
         x = jnp.asarray(intensities)
+        n_frames = None
         if self.parallel:
-            x = self._shard_frames(x)
+            x, n_frames = self._shard_frames(x)
         try:
             result = fold(x)
+            if n_frames is not None and result.shape[0] != n_frames:
+                result = result[:n_frames]
         except (
             jax.errors.TracerArrayConversionError,
             jax.errors.ConcretizationTypeError,

@@ -119,6 +119,19 @@ class TestPipelineExecution:
         with pytest.raises(ValueError, match="at least 3D"):
             pipe(image)
 
+    def test_parallel_indivisible_frame_count_pads_and_slices(self):
+        # 10 frames on the 8-virtual-device mesh: not divisible, so the stack
+        # is padded to 16 for an even layout and sliced back - results must
+        # still match per-frame sequential exactly, with 10 output frames
+        # (regression: this case used to silently fall back to one device).
+        rng = np.random.default_rng(7)
+        stack = (rng.random((10, 32, 32)) * 4000).astype(np.uint16)
+        ops = [ImageOperation(rescale_by_percentile, (1, 99))]
+        out = Pipeline(ops, parallel=True)(stack)
+        assert out.shape[0] == 10
+        sequential = np.stack([Pipeline(ops)(frame) for frame in stack])
+        np.testing.assert_allclose(out, sequential, atol=1e-6)
+
     def test_parallel_equals_per_slice_sequential(self, stack):
         ops = [
             ImageOperation(rescale_by_percentile, (1, 99)),
@@ -245,7 +258,8 @@ class TestParallelSharding:
         expected = np.stack([serial(f) for f in stack])
         np.testing.assert_allclose(out, expected, rtol=1e-6)
 
-        sharded_in = Pipeline._shard_frames(jax.numpy.asarray(stack))
+        sharded_in, n = Pipeline._shard_frames(jax.numpy.asarray(stack))
+        assert n == 8
         assert len(sharded_in.sharding.device_set) == len(jax.devices())
 
     def test_parallel_nondivisible_frame_count_still_works(self):

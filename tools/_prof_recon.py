@@ -14,7 +14,7 @@ B = 2; H = W = 2048; NITER = 200; MAX_CELLS = 1024
 CAP = min(-(-int(H * W * 0.0625) // 8192) * 8192, H * W)
 SINK_CAP = max(1024, 16 * MAX_CELLS)
 
-ckpt = Path('/root/repo/checkpoints/unet')
+ckpt = Path(__file__).resolve().parent.parent / "checkpoints" / "unet"
 params = load_checkpoint(ckpt)
 sparams = s2d_params(params)
 
