@@ -6,29 +6,39 @@ lanes and measured ~5 TFLOP/s on v5e, while the same conv with 128 channels
 runs at ~150 TFLOP/s. This module runs those levels through an EXACT
 space-to-depth (S2D) rewrite: a stride-1 3x3 conv at (2H, 2W, C) is
 identically a stride-1 3x3 conv at (H, W, 4C) whose kernel re-indexes the
-taps per 2x2 sub-position,
+taps per 2x2 sub-position, so the 2048^2 32-channel levels execute as
+1024^2 128-channel convs - full MXU lane occupancy - without retraining:
+`s2d_params` rewrites a trained checkpoint host-side once, and
+`apply_unet_s2d` reproduces `apply_unet` to float tolerance (pinned by
+tests/test_models.py).
 
-    S2D(conv3x3(x, w)) == conv3x3(S2D(x), W')
-    W'[u+1, v+1, (ay,ax,ci), (by,bx,co)] = w[2u+ay-by+1, 2v+ax-bx+1, ci, co]
-    (taps outside 0..2 are zero),
+Round-4 layout rework (v2), from on-chip profiling: with the v1 design the
+convs were NOT the bottleneck (amortized 3x3/128ch convs run at ~95% of
+v5e bf16 peak) - the time went to layout-hostile data movement: the input
+S2D transpose (12.5 ms/img at 2048^2: a (1024,2,1024,2,3)->... shuffle
+whose 3-wide lane dim wastes 125/128 lanes), the head's depth-to-space
+(12.3 ms), and the per-sub-position interleaving concats of the up path.
+v2 removes every explicit transpose:
 
-so the 2048^2 32-channel levels execute as 1024^2 128-channel convs - full
-MXU lane occupancy - without retraining: `s2d_params` rewrites a trained
-checkpoint host-side once, and `apply_unet_s2d` reproduces `apply_unet`
-to float tolerance (pinned by tests/test_models.py). GroupNorm is exact
-because S2D only moves pixels between the spatial and channel axes within
-one group's reduction set; 2x2 max-pool after an S2D level is a free max
-over the 4 sub-position channels.
+- **Channel order (c, a)**, not (a, c): flat channel = c*4 + (ay*2+ax).
+  Skip concats become plain `jnp.concatenate` (no interleave), the 2x2
+  pool is a max over the minor 4-lane groups, decoder tiling is a lane
+  repeat, and GroupNorm's groups stay channel-contiguous (so the plain
+  `unet._group_norm` reduction applies unchanged).
+- **Input S2D is folded into the first conv**: a stride-1 3x3 conv at full
+  resolution followed by S2D equals ONE stride-2 4x4 conv
+  (out[(i,j), co*4+b] = sum_t x[2i+ty, 2j+tx] w[ty-by+1, tx-bx+1]), so the
+  12-lane transpose disappears into an MXU op (the ResNet-stem trick).
+  Residual 1x1 projections become stride-2 2x2 convs the same way.
+- **Depth-to-space is an identity fractionally-strided conv**
+  (lhs_dilation=2, 2x2 kernel): the permutation rides the MXU instead of
+  a minor-dim shuffle; the head's 1x1 conv folds into the same
+  transposed conv, emitting full-resolution (B, H, W, 3) directly.
 
 The deep levels (512^2 and below, >=128 channels) already saturate the MXU
-and keep their dense kernels. The plain forward measured 214 ms/img at
-2048^2 with the narrow levels dominating (per-level conv microbenchmarks:
-32-ch conv ~5 TFLOP/s vs 128-ch ~150 TFLOP/s on v5e), so the rewrite's
-expected forward is a few tens of ms; run profile_deep.py on a chip for
-the measured split (PROF_PLAIN_FWD=1 times both forwards side by side).
-
-Replaces the serial Cellpose dispatch of the reference
-(`src/arcadia_microscopy_tools/model.py:276-288`) on the fast path.
+and keep their dense kernels. Replaces the serial Cellpose dispatch of the
+reference (`src/arcadia_microscopy_tools/model.py:276-288`) on the fast
+path.
 """
 
 from __future__ import annotations
@@ -40,7 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .unet import UNetConfig, _conv2d, _max_pool, _upsample2
+from .unet import UNetConfig, _conv2d, _group_norm, _max_pool, _upsample2
 
 __all__ = ["s2d_params", "apply_unet_s2d", "s2d_supported"]
 
@@ -65,16 +75,39 @@ def s2d_supported(params: Params, config: UNetConfig | None = None) -> bool:
         return False
 
 
+def _sub(ay: int, ax: int) -> int:
+    return ay * 2 + ax
+
+
+def _s2d(x: jax.Array) -> jax.Array:
+    """(B, 2H, 2W, C) -> (B, H, W, 4C) in (c, a) order: flat channel =
+    c*4 + (ay*2 + ax). Reference/testing helper - the forward itself never
+    materializes this transpose (it is folded into the stem convs)."""
+    b, h2, w2, c = x.shape
+    x = x.reshape(b, h2 // 2, 2, w2 // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, h2 // 2, w2 // 2, 4 * c)
+
+
+def _d2s(x: jax.Array, c: int) -> jax.Array:
+    """(B, H, W, 4C) -> (B, 2H, 2W, C), inverse of `_s2d` (reference/testing
+    helper; the forward uses the `_d2s_kernel` conv instead)."""
+    b, h, w, _ = x.shape
+    x = x.reshape(b, h, w, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
 def _s2d_conv_kernel(w: np.ndarray) -> np.ndarray:
     """Rewrite a (kh, kw, cin, cout) stride-1 SAME kernel into its factor-2
     space-to-depth equivalent (3, 3, 4*cin, 4*cout) (1x1 kernels produce the
-    block-diagonal (1, 1, 4*cin, 4*cout)). Channel order is (ay, ax, c),
-    matching `_s2d` / `_d2s` below."""
+    block-diagonal (1, 1, 4*cin, 4*cout)). Channel order is (c, a):
+    flat = c*4 + (ay*2 + ax)."""
     kh, kw, cin, cout = w.shape
     if (kh, kw) == (1, 1):
         out = np.zeros((1, 1, 4 * cin, 4 * cout), w.dtype)
         for a in range(4):
-            out[0, 0, a * cin : (a + 1) * cin, a * cout : (a + 1) * cout] = w[0, 0]
+            out[0, 0, a::4, a::4] = w[0, 0]
         return out
     assert (kh, kw) == (3, 3), f"unsupported kernel {w.shape}"
     out = np.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
@@ -87,135 +120,177 @@ def _s2d_conv_kernel(w: np.ndarray) -> np.ndarray:
                             ky = 2 * u + ay - by + 1
                             kx = 2 * v + ax - bx + 1
                             if 0 <= ky <= 2 and 0 <= kx <= 2:
-                                ai = (ay * 2 + ax) * cin
-                                bi = (by * 2 + bx) * cout
-                                out[u + 1, v + 1, ai : ai + cin, bi : bi + cout] = (
-                                    w[ky, kx]
-                                )
+                                out[
+                                    u + 1, v + 1,
+                                    _sub(ay, ax) :: 4,
+                                    _sub(by, bx) :: 4,
+                                ] = w[ky, kx]
     return out
 
 
-def _s2d_block(block: Params) -> Params:
-    """S2D-rewrite one residual conv block's parameters. GN scale/bias tile
-    4x (the same affine applies at each sub-position); `orig_c` records the
-    pre-S2D channel count so GroupNorm keeps the original group structure."""
+def _stem_conv_kernel(w: np.ndarray) -> np.ndarray:
+    """(3, 3, cin, cout) stride-1 SAME kernel -> the (4, 4, cin, 4*cout)
+    stride-2 kernel computing conv-then-S2D in one op:
+    out[(i,j), co*4+b] = sum_{ty,tx in -1..2} x[2i+ty, 2j+tx]
+    * w[ty-by+1, tx-bx+1] (padding (1,1) per side). The input stays at full
+    resolution in its natural layout - no S2D transpose is materialized."""
+    _, _, cin, cout = w.shape
+    out = np.zeros((4, 4, cin, 4 * cout), w.dtype)
+    for by in range(2):
+        for bx in range(2):
+            for ty in range(-1, 3):
+                for tx in range(-1, 3):
+                    ky, kx = ty - by + 1, tx - bx + 1
+                    if 0 <= ky <= 2 and 0 <= kx <= 2:
+                        out[ty + 1, tx + 1, :, _sub(by, bx) :: 4] = w[ky, kx]
+    return out
+
+
+def _stem_proj_kernel(w: np.ndarray) -> np.ndarray:
+    """(1, 1, cin, cout) -> (2, 2, cin, 4*cout) stride-2: the residual
+    projection of an S2D level, reading full-resolution input."""
+    _, _, cin, cout = w.shape
+    out = np.zeros((2, 2, cin, 4 * cout), w.dtype)
+    for by in range(2):
+        for bx in range(2):
+            out[by, bx, :, _sub(by, bx) :: 4] = w[0, 0]
+    return out
+
+
+def _head_kernel(w: np.ndarray) -> np.ndarray:
+    """(1, 1, cin, cout) head kernel -> (2, 2, 4*cin, cout) for the
+    fractionally-strided (lhs_dilation=2) conv that applies the head AND
+    depth-to-space in one MXU op: with padding (1,1) and dilated input,
+    output (2i+ay, 2j+ax) reads kernel tap (1-ay, 1-ax) against input
+    (i, j), so tap (t, s) selects sub-position (1-t, 1-s)'s channel block."""
+    _, _, cin, cout = w.shape
+    out = np.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for t in range(2):
+        for s in range(2):
+            out[t, s, _sub(1 - t, 1 - s) :: 4, :] = w[0, 0]
+    return out
+
+
+def _d2s_kernel(c: int, dtype) -> np.ndarray:
+    """(2, 2, 4*c, c) identity kernel: depth-to-space as a fractionally-
+    strided conv (same tap/sub-position relation as `_head_kernel`)."""
+    out = np.zeros((2, 2, 4 * c, c), dtype)
+    eye = np.eye(c, dtype=dtype)
+    for t in range(2):
+        for s in range(2):
+            out[t, s, _sub(1 - t, 1 - s) :: 4, :] = eye
+    return out
+
+
+def _s2d_block(block: Params, stem: bool) -> Params:
+    """S2D-rewrite one residual conv block's parameters. GN scale/bias
+    repeat 4x per channel ((c, a) order: the same affine applies at each
+    sub-position). `stem=True` additionally folds the input S2D into conv1
+    (stride-2 4x4) and the projection (stride-2 2x2) - used when the block's
+    input is a full-resolution planar tensor."""
+    w1 = np.asarray(block["conv1"])
     out: Params = {
-        "conv1": jnp.asarray(_s2d_conv_kernel(np.asarray(block["conv1"]))),
+        "conv1": jnp.asarray(_stem_conv_kernel(w1) if stem else _s2d_conv_kernel(w1)),
         "conv2": jnp.asarray(_s2d_conv_kernel(np.asarray(block["conv2"]))),
     }
     for name in ("gn1_scale", "gn1_bias", "gn2_scale", "gn2_bias"):
-        out[name] = jnp.tile(jnp.asarray(block[name]), 4)
+        out[name] = jnp.repeat(jnp.asarray(block[name]), 4)
     if "proj" in block:
-        out["proj"] = jnp.asarray(_s2d_conv_kernel(np.asarray(block["proj"])))
+        wp = np.asarray(block["proj"])
+        out["proj"] = jnp.asarray(
+            _stem_proj_kernel(wp) if stem else _s2d_conv_kernel(wp)
+        )
     return out
 
 
 def s2d_params(params: Params) -> Params:
     """Host-side, one-time rewrite of a trained parameter tree for
-    `apply_unet_s2d`. Levels 0 and 1 of the encoder and the last two decoder
-    blocks (the narrow-channel, high-resolution ones) get S2D kernels; deep
-    levels keep their dense kernels; the 1x1 head becomes block-diagonal."""
+    `apply_unet_s2d`. Levels 0 and 1 of the encoder (stem form: input S2D
+    folded into stride-2 convs) and the last two decoder blocks get S2D
+    kernels; deep levels keep their dense kernels; the 1x1 head becomes the
+    transposed-conv depth-to-space kernel."""
+    nb1 = params["down"][1]["gn1_scale"].shape[0]
+    head = np.asarray(params["head"])
     out: Params = {
-        "down0": _s2d_block(params["down"][0]),
-        "down1": _s2d_block(params["down"][1]),
+        "down0": _s2d_block(params["down"][0], stem=True),
+        "down1": _s2d_block(params["down"][1], stem=True),
         "down_rest": [params["down"][i] for i in range(2, len(params["down"]))],
         "up0": params["up"][0],
-        "up1": _s2d_block(params["up"][1]),
-        "up2": _s2d_block(params["up"][2]),
+        "up1": _s2d_block(params["up"][1], stem=False),
+        "up2": _s2d_block(params["up"][2], stem=False),
         "style_dense": params["style_dense"],
         "style_proj": params["style_proj"],
-        "head": jnp.asarray(_s2d_conv_kernel(np.asarray(params["head"]))),
-        "head_bias": jnp.tile(jnp.asarray(params["head_bias"]), 4),
+        "head": jnp.asarray(_head_kernel(head)),
+        "head_bias": jnp.asarray(params["head_bias"]),
+        "d2s_up2": jnp.asarray(_d2s_kernel(nb1, head.dtype)),
     }
     return out
 
 
-def _s2d(x: jax.Array) -> jax.Array:
-    """(B, 2H, 2W, C) -> (B, H, W, 4C), channel order (ay, ax, c)."""
-    b, h2, w2, c = x.shape
-    x = x.reshape(b, h2 // 2, 2, w2 // 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(b, h2 // 2, w2 // 2, 4 * c)
+def _conv_stride2(x, w, dtype, kernel: int):
+    """Stride-2 conv for the stem forms: 4x4 kernel pads (1,1), 2x2 pads
+    (0,0); both emit the half-resolution S2D grid."""
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    pad = ((1, 1), (1, 1)) if kernel == 4 else ((0, 0), (0, 0))
+    return lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), window_strides=(2, 2), padding=pad,
+        dimension_numbers=dn,
+    )
 
 
-def _d2s(x: jax.Array, c: int) -> jax.Array:
-    """(B, H, W, 4C) -> (B, 2H, 2W, C), inverse of `_s2d`."""
-    b, h, w, _ = x.shape
-    x = x.reshape(b, h, w, 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(b, 2 * h, 2 * w, c)
+def _conv_d2s(x, w, dtype):
+    """Fractionally-strided (lhs_dilation=2) conv: depth-to-space (and
+    optionally a fused 1x1 head) as one MXU op, (B, H, W, 4C) -> (B, 2H,
+    2W, C')."""
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=dn,
+    )
 
 
-def _group_norm_s2d(x, scale, bias, groups, orig_c):
-    """GroupNorm whose reduction set matches the pre-S2D layout: statistics
-    pool over (H, W, the 4 sub-positions, the group's original channels).
-
-    Reduction order mirrors `unet._group_norm`: spatial sums over the
-    contiguous (H, W) axes first, then the (sub-position, in-group channel)
-    fold on the tiny (B, C4) row - the direct strided 6-D reduction lowers
-    ~200x slower on TPU. Flat S2D channel a*orig_c+c belongs to group
-    c // (orig_c // g)."""
-    b, h, w, c4 = x.shape
-    g = min(groups, orig_c)
-    cg = orig_c // g
-    n = h * w * 4 * cg
-    ch_group = (jnp.arange(c4) % orig_c) // cg  # (c4,) group id per channel
-    xf = x.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=(1, 2))  # (b, c4)
-    mean = (
-        jnp.zeros((b, g), jnp.float32).at[:, ch_group].add(s1) / n
-    )  # segment-sum the 4*cg channels of each group
-    mean_c = mean[:, ch_group][:, None, None, :]
-    d = xf - mean_c
-    s2 = jnp.sum(d * d, axis=(1, 2))
-    var = jnp.zeros((b, g), jnp.float32).at[:, ch_group].add(s2) / n
-    inv_c = lax.rsqrt(var + 1e-5)[:, ch_group][:, None, None, :]
-    return (d * inv_c) * scale + bias
-
-
-def _conv_block_s2d(block: Params, x, groups, dtype):
-    """Residual double conv on an S2D tensor; mirrors `unet._conv_block`.
-    The pre-S2D channel count is recovered from the (4x-tiled) GN scale
-    shape, keeping the parameter tree jit-traceable (ints in the tree would
-    become tracers)."""
-    orig_c = block["gn1_scale"].shape[0] // 4
-    # optimization_barrier between conv and GN: see unet._conv_block (fusing
-    # the GN reduction into the conv epilogue pessimizes the conv ~2x).
-    h = lax.optimization_barrier(_conv2d(x, block["conv1"], dtype))
-    h = _group_norm_s2d(h, block["gn1_scale"], block["gn1_bias"], groups, orig_c)
+def _conv_block_s2d(block: Params, x, groups, dtype, stem: bool = False):
+    """Residual double conv on (c, a)-order S2D tensors; mirrors
+    `unet._conv_block`. In (c, a) order GroupNorm's groups are channel-
+    contiguous, so the plain `_group_norm` applies (its (H, W)-first
+    reduction order included); the reduction set matches the pre-S2D
+    layout exactly. optimization_barrier between conv and GN: see
+    unet._conv_block (fusing the GN reduction into the conv epilogue
+    pessimizes the conv ~2x)."""
+    if stem:
+        h = _conv_stride2(x, block["conv1"], dtype, kernel=4)
+    else:
+        h = _conv2d(x, block["conv1"], dtype)
+    h = lax.optimization_barrier(h)
+    h = _group_norm(h, block["gn1_scale"], block["gn1_bias"], groups)
     h = jax.nn.relu(h)
     h = lax.optimization_barrier(_conv2d(h.astype(dtype), block["conv2"], dtype))
-    h = _group_norm_s2d(h, block["gn2_scale"], block["gn2_bias"], groups, orig_c)
-    skip = x
+    h = _group_norm(h, block["gn2_scale"], block["gn2_bias"], groups)
     if "proj" in block:
-        skip = _conv2d(x, block["proj"], dtype)
+        skip = (
+            _conv_stride2(x, block["proj"], dtype, kernel=2)
+            if stem
+            else _conv2d(x, block["proj"], dtype)
+        )
+    else:
+        skip = x
     return jax.nn.relu(h + skip.astype(h.dtype))
 
 
 def _pool_s2d(x: jax.Array, c: int) -> jax.Array:
-    """2x2 stride-2 max-pool of the underlying full-res tensor: a free max
-    over the 4 sub-position channel groups of the S2D layout."""
+    """2x2 stride-2 max-pool of the underlying full-res tensor: in (c, a)
+    order, a max over each channel's minor 4-lane sub-position group -
+    emits the PLANAR half-resolution tensor."""
     b, h, w, _ = x.shape
-    return jnp.max(x.reshape(b, h, w, 4, c), axis=3)
+    return jnp.max(x.reshape(b, h, w, c, 4), axis=4)
 
 
-def _tile_s2d(x: jax.Array) -> jax.Array:
-    """S2D form of `_upsample2(x)`: every sub-position repeats the pixel."""
+def _tile4(x: jax.Array) -> jax.Array:
+    """S2D form of `_upsample2` in (c, a) order: every sub-position repeats
+    the pixel, i.e. each channel repeats over its 4 minor lanes."""
     b, h, w, c = x.shape
-    return jnp.broadcast_to(x[:, :, :, None, :], (b, h, w, 4, c)).reshape(
-        b, h, w, 4 * c
-    )
-
-
-def _concat_s2d(xa: jax.Array, xb: jax.Array, ca: int, cb: int) -> jax.Array:
-    """Channel-concat of two S2D tensors in the (a, c) order the S2D kernels
-    expect: the pre-S2D concat happens per sub-position, so the flat channel
-    index must be a*(ca+cb)+ci, not a plain concatenation of the two flats."""
-    b, h, w, _ = xa.shape
-    return jnp.concatenate(
-        [xa.reshape(b, h, w, 4, ca), xb.astype(xa.dtype).reshape(b, h, w, 4, cb)],
-        axis=-1,
-    ).reshape(b, h, w, 4 * (ca + cb))
+    return jnp.broadcast_to(x[..., None], (b, h, w, c, 4)).reshape(b, h, w, 4 * c)
 
 
 def apply_unet_s2d(
@@ -229,13 +304,12 @@ def apply_unet_s2d(
     groups = config.groups
     nb = config.base_channels
 
-    # encoder levels 0/1 in S2D form
-    x0 = _s2d(x.astype(dtype))  # (B, H/2, W/2, 4*Cin)
-    h0 = _conv_block_s2d(sparams["down0"], x0, groups, dtype)  # 4*nb[0] ch
-    p0 = _pool_s2d(h0, nb[0])
-    x1 = _s2d(p0)
-    h1 = _conv_block_s2d(sparams["down1"], x1, groups, dtype)  # 4*nb[1] ch
-    p1 = _pool_s2d(h1, nb[1])
+    # encoder levels 0/1: stem blocks read full-resolution planar input and
+    # emit the (c, a)-order S2D grid directly (no transpose materialized)
+    h0 = _conv_block_s2d(sparams["down0"], x.astype(dtype), groups, dtype, stem=True)
+    p0 = _pool_s2d(h0, nb[0])  # planar (B, H/2, W/2, nb0)
+    h1 = _conv_block_s2d(sparams["down1"], p0, groups, dtype, stem=True)
+    p1 = _pool_s2d(h1, nb[1])  # planar (B, H/4, W/4, nb1)
 
     # deep levels densely (channels already MXU-wide)
     from .unet import _conv_block
@@ -248,25 +322,28 @@ def apply_unet_s2d(
     style = style / (jnp.linalg.norm(style, axis=-1, keepdims=True) + 1e-6)
     style = jax.nn.relu(style @ sparams["style_dense"])
 
-    # decoder: up0 dense at true 512^2, up1/up2 in S2D form
+    # decoder: up0 dense at true H/4, up1/up2 in (c, a) S2D form
     h = _upsample2(deep)
     h = jnp.concatenate([h, h2.astype(h.dtype)], axis=-1)
     h = _conv_block(sparams["up0"], h, groups, dtype)
     h = h + (style @ sparams["style_proj"][0]).astype(h.dtype)[:, None, None, :]
 
-    # up1: true resolution H/2 -> S2D grid H/4; skip is h1 (already S2D)
-    h = _concat_s2d(_tile_s2d(h), h1, nb[2], nb[1])
+    # up1: true resolution H/2 -> S2D grid H/4; skip is h1 (already S2D).
+    # (c, a) order makes the concat a plain concatenate and the upsample a
+    # lane repeat.
+    h = jnp.concatenate([_tile4(h), h1.astype(h.dtype)], axis=-1)
     h = _conv_block_s2d(sparams["up1"], h, groups, dtype)
     sb1 = (style @ sparams["style_proj"][1]).astype(h.dtype)
-    h = h + jnp.tile(sb1, (1, 4))[:, None, None, :]
+    h = h + jnp.repeat(sb1, 4, axis=1)[:, None, None, :]
 
-    # up2: true resolution H -> S2D grid H/2; bring h back to the H/2 grid
-    # and pair it with skip h0 (already S2D on that grid)
-    h = _d2s(h, nb[1])  # (B, H/2, W/2, nb[1])
-    h = _concat_s2d(_tile_s2d(h), h0, nb[1], nb[0])
+    # up2: true resolution H -> S2D grid H/2. Depth-to-space to the planar
+    # H/2 grid rides the MXU as an identity fractionally-strided conv.
+    h = _conv_d2s(h, sparams["d2s_up2"], dtype)  # (B, H/2, W/2, nb1)
+    h = jnp.concatenate([_tile4(h), h0.astype(h.dtype)], axis=-1)
     h = _conv_block_s2d(sparams["up2"], h, groups, dtype)
     sb2 = (style @ sparams["style_proj"][2]).astype(h.dtype)
-    h = h + jnp.tile(sb2, (1, 4))[:, None, None, :]
+    h = h + jnp.repeat(sb2, 4, axis=1)[:, None, None, :]
 
-    out = _conv2d(h, sparams["head"], dtype) + sparams["head_bias"]
-    return _d2s(out, sparams["head_bias"].shape[0] // 4).astype(jnp.float32)
+    # head + depth-to-space fused in one transposed conv -> full resolution
+    out = _conv_d2s(h, sparams["head"], dtype) + sparams["head_bias"]
+    return out.astype(jnp.float32)

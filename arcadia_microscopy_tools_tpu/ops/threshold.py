@@ -38,7 +38,10 @@ __all__ = [
     "threshold_sauvola",
 ]
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# NumPy scalar, not jnp: a module-level jnp constant would initialize the
+# JAX backend at import time, which breaks jax.distributed.initialize (it
+# must run before any backend exists in multi-process deployments)
+_NEG_INF = np.float32(-np.inf)
 
 
 def _histogram_for(x: jax.Array) -> tuple[jax.Array, jax.Array]:

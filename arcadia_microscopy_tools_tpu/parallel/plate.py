@@ -610,7 +610,7 @@ class PlateRunner:
             channels: Channel identities for intensity-stat naming.
             show_progress: Display a progress bar over batches.
             prefetch: Batches decoded ahead on a worker pool (one thread per
-                in-flight batch; None = one per host core, min 2). 0 disables
+                in-flight batch; None = one per host core). 0 disables
                 decode pipelining. With prefetch > 1 the image_source is
                 invoked from multiple threads concurrently and must be
                 thread-safe - open a fresh file handle per call (as
@@ -628,8 +628,18 @@ class PlateRunner:
         from collections import deque
 
         if prefetch is None:
-            prefetch = max(2, os.cpu_count() or 1)
-        timings = {"decode_s": 0.0, "device_s": 0.0, "assemble_s": 0.0}
+            # one decode worker per host core: more workers than cores only
+            # interleave decodes on the same CPU (each batch's wall time then
+            # includes the other's compute - the round-3 bench recorded 65x
+            # inflated decode_s exactly this way on a 1-core host)
+            prefetch = os.cpu_count() or 1
+        timings = {
+            "decode_s": 0.0,
+            "decode_cpu_s": 0.0,
+            "decode_wells": 0.0,
+            "device_s": 0.0,
+            "assemble_s": 0.0,
+        }
         manifest = self._load_manifest()
         tables: dict[str, pd.DataFrame | None] = {}
 
@@ -802,26 +812,38 @@ class PlateRunner:
             Workers touch no shared state - failures and decode seconds are
             returned for the main thread to record (a += on the shared
             timings dict from several workers would lose increments).
+
+            Two decode clocks are kept per well: wall seconds around each
+            fetch (includes time the worker is descheduled - on a 1-core
+            host the main thread's dispatch work inflates it) and the
+            worker-thread CPU seconds (the honest cost of the decode
+            itself). Summed per well, not per batch, so one batch's window
+            never swallows another's.
             """
-            t0 = time.time()
             images: list[np.ndarray] = []
             ok_ids: list[str] = []
             failed: list[str] = []
+            wall = cpu = 0.0
             for well_id in batch_ids:
+                t0, c0 = time.time(), time.thread_time()
                 img = fetch(well_id)
+                wall += time.time() - t0
+                cpu += time.thread_time() - c0
                 if img is None:
                     failed.append(well_id)
                 else:
                     images.append(img)
                     ok_ids.append(well_id)
-            return images, ok_ids, failed, time.time() - t0
+            return images, ok_ids, failed, (wall, cpu, len(batch_ids))
 
         def record_batch(loaded):
             """Main-thread bookkeeping for one decoded batch."""
-            images, ok_ids, failed, decode_s = loaded
+            images, ok_ids, failed, (wall, cpu, n) = loaded
             for well_id in failed:
                 tables[well_id] = None
-            timings["decode_s"] += decode_s
+            timings["decode_s"] += wall
+            timings["decode_cpu_s"] = timings.get("decode_cpu_s", 0.0) + cpu
+            timings["decode_wells"] = timings.get("decode_wells", 0.0) + n
             return images, ok_ids
 
         retry: dict[str, np.ndarray] = {}

@@ -30,6 +30,46 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/
 
 import numpy as np
 
+# Roofline assumptions (TPU v5e, per chip): bf16 MXU peak and HBM bandwidth
+# from the public v5e datasheet. `mfu` = achieved analytical FLOP rate /
+# BF16 peak; `hbm_frac` = achieved HBM traffic rate / peak bandwidth. FLOP
+# and byte counts come from XLA's own cost model on the compiled program
+# (compiled.cost_analysis()), so they reflect post-fusion reality rather
+# than hand math. For memory-bound stages hbm_frac is the roofline to read;
+# for the U-Net forward, mfu.
+V5E_BF16_PEAK_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def _xla_cost(jitted, *args) -> tuple[float, float]:
+    """(flops, bytes accessed) of the compiled program per dispatch, from
+    XLA's cost model; (0, 0) when the backend does not expose it."""
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort telemetry
+        return 0.0, 0.0
+
+
+def _emit(metric: str, rate: float, flops_per_img: float = 0.0,
+          bytes_per_img: float = 0.0, **extra) -> None:
+    line = {
+        "metric": metric,
+        "value": round(rate, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(rate / 12.5, 3),
+    }
+    if flops_per_img > 0:
+        line["flops_per_image"] = float(f"{flops_per_img:.4g}")
+        line["mfu"] = round(rate * flops_per_img / V5E_BF16_PEAK_FLOPS, 4)
+    if bytes_per_img > 0:
+        line["hbm_bytes_per_image"] = float(f"{bytes_per_img:.4g}")
+        line["hbm_frac"] = round(rate * bytes_per_img / V5E_HBM_BYTES_PER_S, 4)
+    line.update(extra)
+    print(json.dumps(line))
+
 
 def _bench_preprocessing(B: int, H: int, reps: int) -> None:
     """BASELINE config 2: Gaussian + median denoise + rolling-ball background."""
@@ -51,6 +91,7 @@ def _bench_preprocessing(B: int, H: int, reps: int) -> None:
         y = median_filter(y, 3)
         return subtract_background_rolling_ball(y, radius=25)
 
+    flops, nbytes = _xla_cost(program, tiles)
     _ = float(program(tiles).ravel()[0])
     t0 = time.time()
     out = None
@@ -58,12 +99,10 @@ def _bench_preprocessing(B: int, H: int, reps: int) -> None:
         out = program(tiles)
     _ = float(out.ravel()[0])
     rate = B * reps / (time.time() - t0)
-    print(json.dumps({
-        "metric": "2048x2048 preprocessing (gaussian+median+rolling-ball)",
-        "value": round(rate, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(rate / 12.5, 3),
-    }))
+    _emit(
+        f"{H}x{H} preprocessing (gaussian+median+rolling-ball)",
+        rate, flops / B, nbytes / B,
+    )
 
 
 def _bench_unet(B: int, reps: int, H: int = 512) -> None:
@@ -87,6 +126,7 @@ def _bench_unet(B: int, reps: int, H: int = 512) -> None:
             lambda o: compute_masks(o, flow_threshold=0.0, niter=100, max_cells=1024)
         )(out)
 
+    flops, nbytes = _xla_cost(program, params, x)
     _ = float(program(params, x).ravel()[0])
     t0 = time.time()
     out = None
@@ -94,12 +134,10 @@ def _bench_unet(B: int, reps: int, H: int = 512) -> None:
         out = program(params, x)
     _ = float(out.ravel()[0])
     rate = B * reps / (time.time() - t0)
-    print(json.dumps({
-        "metric": f"{H}x{H} U-Net segment (forward + flow tracking)",
-        "value": round(rate, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(rate / 12.5, 3),
-    }))
+    _emit(
+        f"{H}x{H} U-Net segment (forward + flow tracking)",
+        rate, flops / B, nbytes / B,
+    )
 
 
 def _bench_unet_plate(wells, reps: int) -> None:
@@ -146,18 +184,17 @@ def _bench_unet_plate(wells, reps: int) -> None:
             "U-Net plate bench overflowed its foreground cap; the measured "
             "rate would undercount the work - raise fg_cap_fraction"
         )
+    flops, nbytes = _xla_cost(program, wells)
     t0 = time.time()
     out = None
     for _ in range(reps):
         out = program(wells)
     force(out)
     rate = B * reps / (time.time() - t0)
-    print(json.dumps({
-        "metric": f"{H}x{H} 4-ch U-Net plate throughput (forward+flows+measure)",
-        "value": round(rate, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(rate / 12.5, 3),
-    }))
+    _emit(
+        f"{H}x{H} 4-ch U-Net plate throughput (forward+flows+measure)",
+        rate, flops / B, nbytes / B,
+    )
 
 
 def _bench_timelapse_classical(B: int, T: int, H: int, reps: int) -> None:
@@ -226,42 +263,73 @@ def _make_well_pixels(rng, C: int, H: int) -> np.ndarray:
     return base.astype(np.uint16)
 
 
-def _bench_decode_inclusive(n_wells: int, H: int) -> None:
-    """The north-star metric as defined: ND2 decode -> preprocess -> segment
-    -> quantify, end-to-end from real files on disk, with decode prefetched
-    on a worker thread so it overlaps device compute.
+def _bench_decode_inclusive(n_wells: int, H: int, fmt: str = "nd2") -> None:
+    """The north-star metric as defined: file decode -> preprocess -> segment
+    -> quantify, end-to-end from real ND2 (or LIF, fmt="lif") files on disk,
+    with decode prefetched on one worker thread per host core so it overlaps
+    device compute.
 
     Prints one JSON line (before the headline line) with the decode-inclusive
-    rate and the per-stage timings; decode_s + device_s exceeding the wall
-    time is the pipelining evidence.
+    rate and the per-stage timings. Reading the timings: `decode_s` sums
+    per-well decode WALL seconds on the worker threads (on a host with fewer
+    cores than concurrent threads it includes time the worker was
+    descheduled); `decode_cpu_s` sums the worker-thread CPU seconds - the
+    honest per-well decode cost is decode_cpu_s / decode_wells. `device_s`
+    is dispatch+drain wall; decode and device overlap, so the stages can sum
+    past `wall_s`.
     """
     import sys
     from pathlib import Path
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    from nd2_builder import write_nd2
 
     from arcadia_microscopy_tools_tpu.core.microplate import MicroplateLayout, Well
-    from arcadia_microscopy_tools_tpu.io.nikon import load_nd2
     from arcadia_microscopy_tools_tpu.parallel.plate import PlateRunConfig, PlateRunner
 
     C = 4
-    plate_dir = Path(os.environ.get("BENCH_PLATE_DIR", f"/tmp/amt_bench_plate_{H}"))
+    plate_dir = Path(
+        os.environ.get("BENCH_PLATE_DIR", f"/tmp/amt_bench_plate_{H}_{fmt}")
+    )
     plate_dir.mkdir(parents=True, exist_ok=True)
     ids = [f"{chr(65 + i // 12)}{(i % 12) + 1:02d}" for i in range(n_wells)]
     rng = np.random.default_rng(0)
-    for well_id in ids:
-        path = plate_dir / f"{well_id}.nd2"
-        if not path.exists():
-            write_nd2(
-                path,
-                _make_well_pixels(rng, C, H),
-                channel_names=["DAPI", "FITC", "TRITC", "CY5"],
-            )
 
-    def source(well_id: str) -> np.ndarray:
-        pixels, _ = load_nd2(plate_dir / f"{well_id}.nd2")
-        return pixels
+    if fmt == "nd2":
+        from nd2_builder import write_nd2
+
+        from arcadia_microscopy_tools_tpu.io.nikon import load_nd2
+
+        for well_id in ids:
+            path = plate_dir / f"{well_id}.nd2"
+            if not path.exists():
+                write_nd2(
+                    path,
+                    _make_well_pixels(rng, C, H),
+                    channel_names=["DAPI", "FITC", "TRITC", "CY5"],
+                )
+
+        def source(well_id: str) -> np.ndarray:
+            pixels, _ = load_nd2(plate_dir / f"{well_id}.nd2")
+            return pixels
+    else:
+        from lif_builder import LifBuilder
+
+        from arcadia_microscopy_tools_tpu.io.leica import load_lif_image
+
+        for well_id in ids:
+            path = plate_dir / f"{well_id}.lif"
+            if not path.exists():
+                builder = LifBuilder()
+                builder.add_image(
+                    well_id,
+                    _make_well_pixels(rng, C, H),
+                    dims=[(1, H, H * 3.5e-7, "m"), (2, H, H * 3.5e-7, "m")],
+                )
+                builder.write(path)
+
+        def source(well_id: str) -> np.ndarray:
+            pixels, _ = load_lif_image(plate_dir / f"{well_id}.lif", well_id)
+            return pixels
 
     layout = MicroplateLayout([Well(id=i) for i in ids])
     runner = PlateRunner(PlateRunConfig(max_cells=1024, min_size=20, batch_size=8))
@@ -272,12 +340,17 @@ def _bench_decode_inclusive(n_wells: int, H: int) -> None:
     wall = time.time() - t0
     assert not results.failed_wells, results.failed_wells
     rate = n_wells / wall
+    timings = {k: round(v, 3) for k, v in results.timings.items()}
+    if results.timings.get("decode_wells"):
+        timings["decode_cpu_ms_per_well"] = round(
+            1e3 * results.timings["decode_cpu_s"] / results.timings["decode_wells"], 1
+        )
     print(json.dumps({
-        "metric": "2048x2048 4-ch ND2-decode-inclusive plate throughput",
+        "metric": f"{H}x{H} {C}-ch {fmt.upper()}-decode-inclusive plate throughput",
         "value": round(rate, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(rate / 12.5, 3),
-        "timings": {k: round(v, 3) for k, v in results.timings.items()},
+        "timings": timings,
         "wall_s": round(wall, 3),
     }))
 
@@ -329,6 +402,7 @@ def main() -> None:
         _bench_decode_inclusive(
             int(os.environ.get("BENCH_WELLS", "16")),
             int(os.environ.get("BENCH_SIZE", "2048")),
+            os.environ.get("BENCH_FORMAT", "nd2"),
         )
         return
     if config_mode == "2":
@@ -397,19 +471,25 @@ def main() -> None:
     per_chip = rate / n_chips
 
     # secondary metrics first (the headline line prints LAST so single-line
-    # consumers read the primary metric): the deep-path plate program at the
-    # same 2048^2 shape, then the decode-inclusive end-to-end number (real
-    # ND2 files on disk, prefetch-pipelined)
-    if os.environ.get("BENCH_SKIP_UNET", "") != "1":
+    # consumers read the primary metric). Every BASELINE config runs every
+    # round so regressions are visible (round-3 VERDICT item 6): config 2
+    # (preprocessing), config 3 (timelapse classical), the deep-path plate
+    # program at the same 2048^2 shape, then the decode-inclusive end-to-end
+    # numbers from real ND2 AND LIF files on disk, prefetch-pipelined.
+    def _secondary(name, fn, *args):
+        if os.environ.get(f"BENCH_SKIP_{name}", "") == "1":
+            return
         try:
-            _bench_unet_plate(wells[: min(2, B)], max(2, reps // 2))
+            fn(*args)
         except Exception as e:  # noqa: BLE001 - secondary metric must not kill the run
-            print(f"U-Net plate bench skipped: {e}", file=sys.stderr)
-    if os.environ.get("BENCH_SKIP_DECODE", "") != "1":
-        try:
-            _bench_decode_inclusive(int(os.environ.get("BENCH_WELLS", "16")), H)
-        except Exception as e:  # noqa: BLE001 - secondary metric must not kill the run
-            print(f"decode-inclusive bench skipped: {e}", file=sys.stderr)
+            print(f"{name} bench skipped: {e}", file=sys.stderr)
+
+    _secondary("PREPROC", _bench_preprocessing, 2, H, 3)
+    _secondary("TIMELAPSE", _bench_timelapse_classical, 2, 8, 1024, 3)
+    _secondary("UNET", _bench_unet_plate, wells[: min(2, B)], max(2, reps // 2))
+    n_dec = int(os.environ.get("BENCH_WELLS", "16"))
+    _secondary("DECODE", _bench_decode_inclusive, n_dec, H, "nd2")
+    _secondary("DECODE_LIF", _bench_decode_inclusive, n_dec, H, "lif")
 
     target_per_chip = 12.5  # >100 images/sec on 8 chips (BASELINE.md)
     result = {
