@@ -182,6 +182,41 @@ def _d2s_kernel(c: int, dtype) -> np.ndarray:
     return out
 
 
+def _split_up_kernel(w: np.ndarray, c_up: int) -> tuple[np.ndarray, np.ndarray]:
+    """Split an up-block conv kernel so the decoder never materializes the
+    tile4+concat input (measured 11.4 ms/img at 1024^2 - slower than the
+    conv itself):
+
+        conv(concat([tile4(g), skip]), W') == conv(g, Wup) + conv(skip, Wsk)
+
+    where Wup sums W''s four sub-position lanes per up channel (tile4
+    repeats each channel over them, so the products factor), and Wsk is the
+    skip slice unchanged. Also HALVES the up-part FLOPs: the sub-position
+    copies are summed once in the kernel instead of recomputed per pixel."""
+    full = _s2d_conv_kernel(w)
+    kh, kw, _, co4 = full.shape
+    up = full[:, :, : 4 * c_up, :].reshape(kh, kw, c_up, 4, co4).sum(axis=3)
+    return up, full[:, :, 4 * c_up :, :]
+
+
+def _s2d_up_block(block: Params, c_up: int) -> Params:
+    """S2D-rewrite one decoder block with split (up, skip) kernels; see
+    `_split_up_kernel`. `c_up` is the pre-S2D channel count of the
+    upsampled input (the concat's first part)."""
+    up1, sk1 = _split_up_kernel(np.asarray(block["conv1"]), c_up)
+    upp, skp = _split_up_kernel(np.asarray(block["proj"]), c_up)
+    out: Params = {
+        "conv1_up": jnp.asarray(up1),
+        "conv1_skip": jnp.asarray(sk1),
+        "proj_up": jnp.asarray(upp),
+        "proj_skip": jnp.asarray(skp),
+        "conv2": jnp.asarray(_s2d_conv_kernel(np.asarray(block["conv2"]))),
+    }
+    for name in ("gn1_scale", "gn1_bias", "gn2_scale", "gn2_bias"):
+        out[name] = jnp.repeat(jnp.asarray(block[name]), 4)
+    return out
+
+
 def _s2d_block(block: Params, stem: bool) -> Params:
     """S2D-rewrite one residual conv block's parameters. GN scale/bias
     repeat 4x per channel ((c, a) order: the same affine applies at each
@@ -210,14 +245,15 @@ def s2d_params(params: Params) -> Params:
     kernels; deep levels keep their dense kernels; the 1x1 head becomes the
     transposed-conv depth-to-space kernel."""
     nb1 = params["down"][1]["gn1_scale"].shape[0]
+    nb2 = params["down"][2]["gn1_scale"].shape[0]
     head = np.asarray(params["head"])
     out: Params = {
         "down0": _s2d_block(params["down"][0], stem=True),
         "down1": _s2d_block(params["down"][1], stem=True),
         "down_rest": [params["down"][i] for i in range(2, len(params["down"]))],
         "up0": params["up"][0],
-        "up1": _s2d_block(params["up"][1], stem=False),
-        "up2": _s2d_block(params["up"][2], stem=False),
+        "up1": _s2d_up_block(params["up"][1], c_up=nb2),
+        "up2": _s2d_up_block(params["up"][2], c_up=nb1),
         "style_dense": params["style_dense"],
         "style_proj": params["style_proj"],
         "head": jnp.asarray(_head_kernel(head)),
@@ -278,6 +314,25 @@ def _conv_block_s2d(block: Params, x, groups, dtype, stem: bool = False):
     return jax.nn.relu(h + skip.astype(h.dtype))
 
 
+def _conv_block_s2d_up(block: Params, g, skip_t, groups, dtype):
+    """Decoder residual block with split (up, skip) kernels: the nearest-
+    upsample (tile4) and channel concat never materialize - both conv1 and
+    the residual projection read `g` (the planar upsampled features) and
+    `skip_t` (the S2D skip tensor) directly and sum their halves."""
+    h = _conv2d(g, block["conv1_up"], dtype) + _conv2d(
+        skip_t, block["conv1_skip"], dtype
+    )
+    h = lax.optimization_barrier(h)
+    h = _group_norm(h, block["gn1_scale"], block["gn1_bias"], groups)
+    h = jax.nn.relu(h)
+    h = lax.optimization_barrier(_conv2d(h.astype(dtype), block["conv2"], dtype))
+    h = _group_norm(h, block["gn2_scale"], block["gn2_bias"], groups)
+    skip = _conv2d(g, block["proj_up"], dtype) + _conv2d(
+        skip_t, block["proj_skip"], dtype
+    )
+    return jax.nn.relu(h + skip.astype(h.dtype))
+
+
 def _pool_s2d(x: jax.Array, c: int) -> jax.Array:
     """2x2 stride-2 max-pool of the underlying full-res tensor: in (c, a)
     order, a max over each channel's minor 4-lane sub-position group -
@@ -329,18 +384,16 @@ def apply_unet_s2d(
     h = h + (style @ sparams["style_proj"][0]).astype(h.dtype)[:, None, None, :]
 
     # up1: true resolution H/2 -> S2D grid H/4; skip is h1 (already S2D).
-    # (c, a) order makes the concat a plain concatenate and the upsample a
-    # lane repeat.
-    h = jnp.concatenate([_tile4(h), h1.astype(h.dtype)], axis=-1)
-    h = _conv_block_s2d(sparams["up1"], h, groups, dtype)
+    # Split kernels read the planar `h` and the skip directly - no tile4 /
+    # concat tensor is ever built (see `_split_up_kernel`).
+    h = _conv_block_s2d_up(sparams["up1"], h, h1, groups, dtype)
     sb1 = (style @ sparams["style_proj"][1]).astype(h.dtype)
     h = h + jnp.repeat(sb1, 4, axis=1)[:, None, None, :]
 
     # up2: true resolution H -> S2D grid H/2. Depth-to-space to the planar
     # H/2 grid rides the MXU as an identity fractionally-strided conv.
     h = _conv_d2s(h, sparams["d2s_up2"], dtype)  # (B, H/2, W/2, nb1)
-    h = jnp.concatenate([_tile4(h), h0.astype(h.dtype)], axis=-1)
-    h = _conv_block_s2d(sparams["up2"], h, groups, dtype)
+    h = _conv_block_s2d_up(sparams["up2"], h, h0, groups, dtype)
     sb2 = (style @ sparams["style_proj"][2]).astype(h.dtype)
     h = h + jnp.repeat(sb2, 4, axis=1)[:, None, None, :]
 
