@@ -24,15 +24,18 @@ import os
 import sys
 from pathlib import Path
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp"))
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-import jax
+# Force the CPU backend only when run as the pinning script; the test suites
+# import `segment_fixture` under their own backend (CPU lane and TPU lane).
+if __name__ == "__main__":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
