@@ -19,7 +19,7 @@ from .exceptions import MetadataWarning, SegmentationWarning
 from .ops.pipeline import ImageOperation, Pipeline
 from .viz.blending import BlendMode, Layer, create_overlay, overlay_channels
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "BlendMode",
