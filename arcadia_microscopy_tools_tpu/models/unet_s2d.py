@@ -50,7 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .unet import UNetConfig, _conv2d, _group_norm, _max_pool, _upsample2
+from .unet import UNetConfig, _conv2d, _group_norm, _max_pool
 
 __all__ = ["s2d_params", "apply_unet_s2d", "s2d_supported"]
 
@@ -199,6 +199,40 @@ def _split_up_kernel(w: np.ndarray, c_up: int) -> tuple[np.ndarray, np.ndarray]:
     return up, full[:, :, 4 * c_up :, :]
 
 
+# Tap-collapse matrix for conv3x3(nearest_up2(x)) == lhs_dilated conv4x4(x):
+# even outputs read taps (w0 | w1+w2) of the original 3-tap kernel, odd
+# outputs (w0+w1 | w2); per axis K4[t] = sum_k A[t, k] w[k].
+_UP_TAPS = np.array(
+    [[1, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], dtype=np.float64
+)
+
+
+def _up0_block(block: Params, c_up: int) -> Params:
+    """Dense decoder block (up0) with the nearest-upsample folded into
+    fractionally-strided kernels: conv3x3(concat([upsample2(g), skip]))
+    == dconv4x4(g, A w A^T) + conv3x3(skip, w_skip), so neither the
+    upsampled tensor nor the concat materializes."""
+    w1 = np.asarray(block["conv1"], np.float64)
+    up, sk = w1[:, :, :c_up, :], w1[:, :, c_up:, :]
+    conv1_up = np.einsum("ta,sb,abio->tsio", _UP_TAPS, _UP_TAPS, up)
+    wp = np.asarray(block["proj"], np.float64)
+    # 1x1 proj on the upsampled tensor: every (t, s) tap reads the source
+    # pixel (nearest upsample), so the 2x2 transposed kernel replicates it
+    proj_up = np.broadcast_to(
+        wp[0, 0, :c_up], (2, 2, c_up, wp.shape[3])
+    ).copy()
+    out: Params = {
+        "conv1_up": jnp.asarray(conv1_up.astype(w1.dtype)),
+        "conv1_skip": jnp.asarray(sk.astype(w1.dtype)),
+        "proj_up": jnp.asarray(proj_up.astype(w1.dtype)),
+        "proj_skip": jnp.asarray(wp[:, :, c_up:, :].astype(w1.dtype)),
+        "conv2": jnp.asarray(block["conv2"]),
+    }
+    for name in ("gn1_scale", "gn1_bias", "gn2_scale", "gn2_bias"):
+        out[name] = jnp.asarray(block[name])
+    return out
+
+
 def _s2d_up_block(block: Params, c_up: int) -> Params:
     """S2D-rewrite one decoder block with split (up, skip) kernels; see
     `_split_up_kernel`. `c_up` is the pre-S2D channel count of the
@@ -246,12 +280,13 @@ def s2d_params(params: Params) -> Params:
     transposed-conv depth-to-space kernel."""
     nb1 = params["down"][1]["gn1_scale"].shape[0]
     nb2 = params["down"][2]["gn1_scale"].shape[0]
+    nb3 = params["down"][3]["gn1_scale"].shape[0]
     head = np.asarray(params["head"])
     out: Params = {
         "down0": _s2d_block(params["down"][0], stem=True),
         "down1": _s2d_block(params["down"][1], stem=True),
         "down_rest": [params["down"][i] for i in range(2, len(params["down"]))],
-        "up0": params["up"][0],
+        "up0": _up0_block(params["up"][0], c_up=nb3),
         "up1": _s2d_up_block(params["up"][1], c_up=nb2),
         "up2": _s2d_up_block(params["up"][2], c_up=nb1),
         "style_dense": params["style_dense"],
@@ -284,6 +319,36 @@ def _conv_d2s(x, w, dtype):
         padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
         dimension_numbers=dn,
     )
+
+
+def _conv_up(x, w, dtype):
+    """conv(nearest_up2(x), w0) as ONE fractionally-strided conv on the
+    half-resolution tensor (kernel pre-collapsed by `_UP_TAPS`): 4x4 kernel
+    pads (2,2), the 2x2 replicated-proj kernel pads (1,1)."""
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    p = 2 if w.shape[0] == 4 else 1
+    return lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), window_strides=(1, 1),
+        padding=((p, p), (p, p)), lhs_dilation=(2, 2),
+        dimension_numbers=dn,
+    )
+
+
+def _conv_block_up0(block: Params, g, skip_t, groups, dtype):
+    """up0: dense decoder block with the nearest-upsample and concat folded
+    into fractionally-strided kernels (see `_up0_block`)."""
+    h = _conv_up(g, block["conv1_up"], dtype) + _conv2d(
+        skip_t, block["conv1_skip"], dtype
+    )
+    h = lax.optimization_barrier(h)
+    h = _group_norm(h, block["gn1_scale"], block["gn1_bias"], groups)
+    h = jax.nn.relu(h)
+    h = lax.optimization_barrier(_conv2d(h.astype(dtype), block["conv2"], dtype))
+    h = _group_norm(h, block["gn2_scale"], block["gn2_bias"], groups)
+    skip = _conv_up(g, block["proj_up"], dtype) + _conv2d(
+        skip_t, block["proj_skip"], dtype
+    )
+    return jax.nn.relu(h + skip.astype(h.dtype))
 
 
 def _conv_block_s2d(block: Params, x, groups, dtype, stem: bool = False):
@@ -341,11 +406,6 @@ def _pool_s2d(x: jax.Array, c: int) -> jax.Array:
     return jnp.max(x.reshape(b, h, w, c, 4), axis=4)
 
 
-def _tile4(x: jax.Array) -> jax.Array:
-    """S2D form of `_upsample2` in (c, a) order: every sub-position repeats
-    the pixel, i.e. each channel repeats over its 4 minor lanes."""
-    b, h, w, c = x.shape
-    return jnp.broadcast_to(x[..., None], (b, h, w, c, 4)).reshape(b, h, w, 4 * c)
 
 
 def apply_unet_s2d(
@@ -377,10 +437,9 @@ def apply_unet_s2d(
     style = style / (jnp.linalg.norm(style, axis=-1, keepdims=True) + 1e-6)
     style = jax.nn.relu(style @ sparams["style_dense"])
 
-    # decoder: up0 dense at true H/4, up1/up2 in (c, a) S2D form
-    h = _upsample2(deep)
-    h = jnp.concatenate([h, h2.astype(h.dtype)], axis=-1)
-    h = _conv_block(sparams["up0"], h, groups, dtype)
+    # decoder: up0 dense at true H/4 (upsample+concat folded into the
+    # kernels), up1/up2 in (c, a) S2D form
+    h = _conv_block_up0(sparams["up0"], deep, h2, groups, dtype)
     h = h + (style @ sparams["style_proj"][0]).astype(h.dtype)[:, None, None, :]
 
     # up1: true resolution H/2 -> S2D grid H/4; skip is h1 (already S2D).
