@@ -168,19 +168,23 @@ def _conv2d(x, w, dtype):
     )
 
 
-def _conv_block(params: Params, x, groups, dtype):
+def _conv_block(params: Params, x, groups, dtype, gn=_group_norm):
     """Residual double conv: GN -> ReLU -> conv, twice, with projection skip.
 
     Each conv output passes through `optimization_barrier` before GroupNorm:
     letting XLA fuse the GN reduction into the conv epilogue pessimizes the
     conv's tiling ~2x on TPU (measured 20 ms vs 8.5 ms for conv+GN at
     1024^2 x 128 on v5e); the barrier keeps them separately scheduled. The
-    barrier is differentiable, so the training path is unaffected."""
+    barrier is differentiable, so the training path is unaffected.
+
+    `gn` lets inference paths swap in the Pallas fused-moments GroupNorm
+    (models/gn_pallas.py); the default XLA form stays on the training path
+    (the kernel has no VJP)."""
     h = lax.optimization_barrier(_conv2d(x, params["conv1"], dtype))
-    h = _group_norm(h, params["gn1_scale"], params["gn1_bias"], groups)
+    h = gn(h, params["gn1_scale"], params["gn1_bias"], groups)
     h = jax.nn.relu(h)
     h = lax.optimization_barrier(_conv2d(h.astype(dtype), params["conv2"], dtype))
-    h = _group_norm(h, params["gn2_scale"], params["gn2_bias"], groups)
+    h = gn(h, params["gn2_scale"], params["gn2_bias"], groups)
     skip = x
     if "proj" in params:
         skip = _conv2d(x, params["proj"], dtype)

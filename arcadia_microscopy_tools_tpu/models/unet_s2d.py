@@ -272,18 +272,29 @@ def _s2d_block(block: Params, stem: bool) -> Params:
     return out
 
 
-def s2d_params(params: Params) -> Params:
+def s2d_params(params: Params, gray_input: bool = False) -> Params:
     """Host-side, one-time rewrite of a trained parameter tree for
     `apply_unet_s2d`. Levels 0 and 1 of the encoder (stem form: input S2D
     folded into stride-2 convs) and the last two decoder blocks get S2D
     kernels; deep levels keep their dense kernels; the 1x1 head becomes the
-    transposed-conv depth-to-space kernel."""
+    transposed-conv depth-to-space kernel.
+
+    `gray_input=True` additionally folds a REPLICATED-grayscale input into
+    the down0 stem: conv(stack([x]*cin), W) == conv(x[..., None], sum_ci W),
+    so the caller feeds (B, H, W, 1) and the image-layout-bound cin=3 stem
+    conv (measured input-bound at 2048^2, ROADMAP) reads a third of the
+    bytes. Exact for the plate path, whose network input is
+    stack([xn, xn, xn]) (parallel/plate.py)."""
     nb1 = params["down"][1]["gn1_scale"].shape[0]
     nb2 = params["down"][2]["gn1_scale"].shape[0]
     nb3 = params["down"][3]["gn1_scale"].shape[0]
     head = np.asarray(params["head"])
+    down0 = _s2d_block(params["down"][0], stem=True)
+    if gray_input:
+        down0["conv1"] = jnp.sum(down0["conv1"], axis=2, keepdims=True)
+        down0["proj"] = jnp.sum(down0["proj"], axis=2, keepdims=True)
     out: Params = {
-        "down0": _s2d_block(params["down"][0], stem=True),
+        "down0": down0,
         "down1": _s2d_block(params["down"][1], stem=True),
         "down_rest": [params["down"][i] for i in range(2, len(params["down"]))],
         "up0": _up0_block(params["up"][0], c_up=nb3),
@@ -334,24 +345,24 @@ def _conv_up(x, w, dtype):
     )
 
 
-def _conv_block_up0(block: Params, g, skip_t, groups, dtype):
+def _conv_block_up0(block: Params, g, skip_t, groups, dtype, gn=_group_norm):
     """up0: dense decoder block with the nearest-upsample and concat folded
     into fractionally-strided kernels (see `_up0_block`)."""
     h = _conv_up(g, block["conv1_up"], dtype) + _conv2d(
         skip_t, block["conv1_skip"], dtype
     )
     h = lax.optimization_barrier(h)
-    h = _group_norm(h, block["gn1_scale"], block["gn1_bias"], groups)
+    h = gn(h, block["gn1_scale"], block["gn1_bias"], groups)
     h = jax.nn.relu(h)
     h = lax.optimization_barrier(_conv2d(h.astype(dtype), block["conv2"], dtype))
-    h = _group_norm(h, block["gn2_scale"], block["gn2_bias"], groups)
+    h = gn(h, block["gn2_scale"], block["gn2_bias"], groups)
     skip = _conv_up(g, block["proj_up"], dtype) + _conv2d(
         skip_t, block["proj_skip"], dtype
     )
     return jax.nn.relu(h + skip.astype(h.dtype))
 
 
-def _conv_block_s2d(block: Params, x, groups, dtype, stem: bool = False):
+def _conv_block_s2d(block: Params, x, groups, dtype, stem: bool = False, gn=_group_norm):
     """Residual double conv on (c, a)-order S2D tensors; mirrors
     `unet._conv_block`. In (c, a) order GroupNorm's groups are channel-
     contiguous, so the plain `_group_norm` applies (its (H, W)-first
@@ -364,10 +375,10 @@ def _conv_block_s2d(block: Params, x, groups, dtype, stem: bool = False):
     else:
         h = _conv2d(x, block["conv1"], dtype)
     h = lax.optimization_barrier(h)
-    h = _group_norm(h, block["gn1_scale"], block["gn1_bias"], groups)
+    h = gn(h, block["gn1_scale"], block["gn1_bias"], groups)
     h = jax.nn.relu(h)
     h = lax.optimization_barrier(_conv2d(h.astype(dtype), block["conv2"], dtype))
-    h = _group_norm(h, block["gn2_scale"], block["gn2_bias"], groups)
+    h = gn(h, block["gn2_scale"], block["gn2_bias"], groups)
     if "proj" in block:
         skip = (
             _conv_stride2(x, block["proj"], dtype, kernel=2)
@@ -379,7 +390,7 @@ def _conv_block_s2d(block: Params, x, groups, dtype, stem: bool = False):
     return jax.nn.relu(h + skip.astype(h.dtype))
 
 
-def _conv_block_s2d_up(block: Params, g, skip_t, groups, dtype):
+def _conv_block_s2d_up(block: Params, g, skip_t, groups, dtype, gn=_group_norm):
     """Decoder residual block with split (up, skip) kernels: the nearest-
     upsample (tile4) and channel concat never materialize - both conv1 and
     the residual projection read `g` (the planar upsampled features) and
@@ -388,10 +399,10 @@ def _conv_block_s2d_up(block: Params, g, skip_t, groups, dtype):
         skip_t, block["conv1_skip"], dtype
     )
     h = lax.optimization_barrier(h)
-    h = _group_norm(h, block["gn1_scale"], block["gn1_bias"], groups)
+    h = gn(h, block["gn1_scale"], block["gn1_bias"], groups)
     h = jax.nn.relu(h)
     h = lax.optimization_barrier(_conv2d(h.astype(dtype), block["conv2"], dtype))
-    h = _group_norm(h, block["gn2_scale"], block["gn2_bias"], groups)
+    h = gn(h, block["gn2_scale"], block["gn2_bias"], groups)
     skip = _conv2d(g, block["proj_up"], dtype) + _conv2d(
         skip_t, block["proj_skip"], dtype
     )
@@ -409,29 +420,54 @@ def _pool_s2d(x: jax.Array, c: int) -> jax.Array:
 
 
 def apply_unet_s2d(
-    sparams: Params, x: jax.Array, config: UNetConfig | None = None
+    sparams: Params,
+    x: jax.Array,
+    config: UNetConfig | None = None,
+    pallas_gn: bool | None = None,
 ) -> jax.Array:
     """`unet.apply_unet` on S2D-rewritten parameters; same (B, H, W, Cin) ->
     (B, H, W, 3) contract, H and W multiples of 8. Equal to the plain
-    forward up to float reassociation (pinned by tests)."""
+    forward up to float reassociation (pinned by tests).
+
+    `pallas_gn` selects the fused-moments GroupNorm kernel
+    (models/gn_pallas.py) per activation where its shape tiles; None = auto
+    (on for the TPU backend). Callers compiling for another placement than
+    `jax.devices()[0]` - CPU-pinned models, spatially-sharded programs where
+    a Mosaic call cannot be partitioned along the sharded axis - pass False,
+    same contract as `flows.masks_to_flows(allow_pallas=...)`."""
     config = config or UNetConfig()
     dtype = config.compute_dtype
     groups = config.groups
     nb = config.base_channels
 
+    from .gn_pallas import gn_pallas_viable, group_norm_pallas
+
+    use_pallas = (
+        pallas_gn
+        if pallas_gn is not None
+        else jax.devices()[0].platform not in ("cpu",)
+    )
+
+    def gn(v, scale, bias, g):
+        if use_pallas and gn_pallas_viable(v.shape):
+            return group_norm_pallas(v, scale, bias, g)
+        return _group_norm(v, scale, bias, g)
+
     # encoder levels 0/1: stem blocks read full-resolution planar input and
     # emit the (c, a)-order S2D grid directly (no transpose materialized)
-    h0 = _conv_block_s2d(sparams["down0"], x.astype(dtype), groups, dtype, stem=True)
+    h0 = _conv_block_s2d(
+        sparams["down0"], x.astype(dtype), groups, dtype, stem=True, gn=gn
+    )
     p0 = _pool_s2d(h0, nb[0])  # planar (B, H/2, W/2, nb0)
-    h1 = _conv_block_s2d(sparams["down1"], p0, groups, dtype, stem=True)
+    h1 = _conv_block_s2d(sparams["down1"], p0, groups, dtype, stem=True, gn=gn)
     p1 = _pool_s2d(h1, nb[1])  # planar (B, H/4, W/4, nb1)
 
     # deep levels densely (channels already MXU-wide)
     from .unet import _conv_block
 
-    h2 = _conv_block(sparams["down_rest"][0], p1, groups, dtype)
+    h2 = _conv_block(sparams["down_rest"][0], p1, groups, dtype, gn=gn)
     p2 = _max_pool(h2)
-    deep = _conv_block(sparams["down_rest"][1], p2, groups, dtype)
+    deep = _conv_block(sparams["down_rest"][1], p2, groups, dtype, gn=gn)
 
     style = jnp.mean(deep.astype(jnp.float32), axis=(1, 2))
     style = style / (jnp.linalg.norm(style, axis=-1, keepdims=True) + 1e-6)
@@ -439,20 +475,20 @@ def apply_unet_s2d(
 
     # decoder: up0 dense at true H/4 (upsample+concat folded into the
     # kernels), up1/up2 in (c, a) S2D form
-    h = _conv_block_up0(sparams["up0"], deep, h2, groups, dtype)
+    h = _conv_block_up0(sparams["up0"], deep, h2, groups, dtype, gn=gn)
     h = h + (style @ sparams["style_proj"][0]).astype(h.dtype)[:, None, None, :]
 
     # up1: true resolution H/2 -> S2D grid H/4; skip is h1 (already S2D).
     # Split kernels read the planar `h` and the skip directly - no tile4 /
     # concat tensor is ever built (see `_split_up_kernel`).
-    h = _conv_block_s2d_up(sparams["up1"], h, h1, groups, dtype)
+    h = _conv_block_s2d_up(sparams["up1"], h, h1, groups, dtype, gn=gn)
     sb1 = (style @ sparams["style_proj"][1]).astype(h.dtype)
     h = h + jnp.repeat(sb1, 4, axis=1)[:, None, None, :]
 
     # up2: true resolution H -> S2D grid H/2. Depth-to-space to the planar
     # H/2 grid rides the MXU as an identity fractionally-strided conv.
     h = _conv_d2s(h, sparams["d2s_up2"], dtype)  # (B, H/2, W/2, nb1)
-    h = _conv_block_s2d_up(sparams["up2"], h, h0, groups, dtype)
+    h = _conv_block_s2d_up(sparams["up2"], h, h0, groups, dtype, gn=gn)
     sb2 = (style @ sparams["style_proj"][2]).astype(h.dtype)
     h = h + jnp.repeat(sb2, 4, axis=1)[:, None, None, :]
 

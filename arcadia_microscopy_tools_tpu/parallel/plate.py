@@ -244,7 +244,6 @@ def _build_well_program(
         ph, pw = (-h) % 8, (-w) % 8
         if ph or pw:
             xn = jnp.pad(xn, ((0, ph), (0, pw)), mode="edge")
-        net_in = jnp.stack([xn, xn, xn], axis=-1)[None]
         # space-to-depth forward: the narrow high-res conv levels run
         # 4x channel-wide at quarter area - full MXU lane occupancy,
         # exact to float tolerance (models/unet_s2d.py; the plain forward
@@ -252,10 +251,20 @@ def _build_well_program(
         # Params are concrete at trace time, so the rewrite happens once
         # host-side and bakes into the program. Checkpoints with a
         # non-default architecture take the shape-generic plain forward.
+        # The network input is replicated grayscale (Cellpose's 3-channel
+        # contract over a single segmentation channel), so the S2D path
+        # folds the replication into the stem kernels (gray_input) and
+        # feeds the 1-channel image directly.
         if s2d_supported(unet_params):
-            out = apply_unet_s2d(s2d_params(unet_params), net_in)[0]
+            # pallas_gn follows the same gate as allow_pallas below: a
+            # Mosaic call cannot be partitioned along a sharded image axis
+            out = apply_unet_s2d(
+                s2d_params(unet_params, gray_input=True),
+                xn[None, ..., None],
+                pallas_gn=not spatial,
+            )[0]
         else:
-            out = apply_unet(unet_params, net_in)[0]
+            out = apply_unet(unet_params, jnp.stack([xn, xn, xn], axis=-1)[None])[0]
         if ph or pw:
             out = out[:h, :w]
         # active-pixel cap for the sparse flow integration: same sizing as

@@ -669,3 +669,96 @@ class TestDiffusePallas:
         norms = np.linalg.norm(np.asarray(flows), axis=-1)
         assert (norms[fg] > 0.5).mean() > 0.8
         assert np.asarray(fgmask).dtype == np.bool_
+
+
+class TestGroupNormPallas:
+    """models/gn_pallas: the fused-moments GroupNorm must reproduce
+    `unet._group_norm` exactly up to reduction reassociation. Runs the
+    kernel through the Pallas interpreter on CPU; real Mosaic lowering is
+    pinned by the on-chip lane (tests_tpu)."""
+
+    def _case(self, b=2, h=32, w=32, c=128, dtype=jnp.float32, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(1.0, 2.0, (b, h, w, c)).astype(np.float32))
+        scale = jnp.asarray(rng.random(c).astype(np.float32) + 0.5)
+        bias = jnp.asarray(rng.random(c).astype(np.float32))
+        return x.astype(dtype), scale, bias
+
+    def test_lane_moments_matches_direct(self):
+        from arcadia_microscopy_tools_tpu.models.gn_pallas import lane_moments
+
+        x, _, _ = self._case()
+        s1, s2 = lane_moments(x, interpret=True)
+        ref1 = jnp.sum(x, axis=(1, 2), dtype=jnp.float32)
+        ref2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2))
+        # blockwise f32 reassociation: tolerance scales with the summand
+        # magnitude (|x| ~ 2, 1024 terms), not the possibly-tiny sum
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(ref1), rtol=1e-5, atol=1e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2), np.asarray(ref2), rtol=1e-5, atol=1e-2
+        )
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    @pytest.mark.parametrize("c", [128, 256])
+    def test_matches_xla_group_norm(self, dtype, c):
+        from arcadia_microscopy_tools_tpu.models.gn_pallas import group_norm_pallas
+        from arcadia_microscopy_tools_tpu.models.unet import _group_norm
+
+        x, scale, bias = self._case(c=c, dtype=dtype)
+        a = np.asarray(_group_norm(x, scale, bias, 8), np.float32)
+        b = np.asarray(
+            group_norm_pallas(x, scale, bias, 8, interpret=True), np.float32
+        )
+        # moments differ only by blockwise reassociation of the f32 sums;
+        # at bf16 output a 1-ulp moment shift can flip the final rounding,
+        # so the gate there is 1 bf16 ulp of the normalized range
+        if dtype == jnp.bfloat16:
+            np.testing.assert_allclose(a, b, rtol=1e-2, atol=0.04)
+        else:
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+    def test_sequential_vmap_rule(self):
+        """The plate runtime vmaps well programs; the kernel's
+        sequential_vmap rule must keep the vmapped call exact."""
+        from arcadia_microscopy_tools_tpu.models.gn_pallas import group_norm_pallas
+        from arcadia_microscopy_tools_tpu.models.unet import _group_norm
+
+        x, scale, bias = self._case(b=3)
+        a = jax.vmap(lambda v: _group_norm(v[None], scale, bias, 8)[0])(x)
+        b = jax.vmap(
+            lambda v: group_norm_pallas(v[None], scale, bias, 8, interpret=True)[0]
+        )(x)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        )
+
+    def test_viability_gate(self):
+        from arcadia_microscopy_tools_tpu.models.gn_pallas import gn_pallas_viable
+
+        # CPU suite: the backend leg must refuse regardless of shape
+        assert not gn_pallas_viable((2, 32, 32, 128))
+        # shape legs (checked independently of backend)
+        from arcadia_microscopy_tools_tpu.models.gn_pallas import _pick_tile
+
+        assert _pick_tile(1024) == 1024
+        assert _pick_tile(1048576) == 8192
+        assert _pick_tile(7) == 0
+
+    def test_gray_input_fold_matches_replicated(self, unet_params):
+        """s2d_params(gray_input=True) on a (B, H, W, 1) image must equal
+        the plain forward on stack([x]*3) - the plate path's contract."""
+        from arcadia_microscopy_tools_tpu.models.unet_s2d import (
+            apply_unet_s2d,
+            s2d_params,
+        )
+
+        cfg = UNetConfig(compute_dtype=jnp.float32)
+        sp = s2d_params(unet_params, gray_input=True)
+        rng = np.random.default_rng(7)
+        x1 = jnp.asarray(rng.random((1, 64, 64, 1)).astype(np.float32))
+        x3 = jnp.concatenate([x1, x1, x1], axis=-1)
+        a = np.asarray(apply_unet(unet_params, x3, cfg))
+        b = np.asarray(apply_unet_s2d(sp, x1, cfg))
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-4)

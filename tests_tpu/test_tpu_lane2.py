@@ -242,6 +242,56 @@ class TestS2DForwardOnChip:
         decided = np.abs(a[..., 2]) > 0.25
         assert ((a[..., 2] > 0) == (b[..., 2] > 0))[decided].all()
 
+    def test_pallas_gn_matches_xla_gn_on_chip(self, rng):
+        """group_norm_pallas through real Mosaic lowering (including the
+        revisited-output accumulation and the sequential_vmap rule under
+        jax.vmap, the plate path's mapping) vs the XLA GroupNorm."""
+        from arcadia_microscopy_tools_tpu.models.gn_pallas import (
+            gn_pallas_viable,
+            group_norm_pallas,
+        )
+        from arcadia_microscopy_tools_tpu.models.unet import _group_norm
+
+        assert gn_pallas_viable((2, 64, 64, 128))
+        x = jnp.asarray(
+            rng.normal(1.0, 2.0, (2, 64, 64, 128)).astype(np.float32)
+        )
+        scale = jnp.asarray(rng.random(128).astype(np.float32) + 0.5)
+        bias = jnp.asarray(rng.random(128).astype(np.float32))
+        for dt, rtol, atol in ((jnp.float32, 2e-5, 2e-5), (jnp.bfloat16, 1e-2, 0.04)):
+            xd = x.astype(dt)
+            a = np.asarray(_group_norm(xd, scale, bias, 8), np.float32)
+            b = np.asarray(group_norm_pallas(xd, scale, bias, 8), np.float32)
+            np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
+        # vmapped (sequential_vmap) path
+        a = np.asarray(
+            jax.jit(jax.vmap(lambda v: _group_norm(v[None], scale, bias, 8)[0]))(x)
+        )
+        b = np.asarray(
+            jax.jit(
+                jax.vmap(lambda v: group_norm_pallas(v[None], scale, bias, 8)[0])
+            )(x)
+        )
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+    def test_s2d_forward_pallas_gn_parity_on_chip(self, rng):
+        """The full S2D forward with the Pallas GroupNorm (the production
+        plate configuration) vs the same forward with XLA GroupNorm."""
+        from arcadia_microscopy_tools_tpu.models.unet import UNetConfig, init_unet
+        from arcadia_microscopy_tools_tpu.models.unet_s2d import (
+            apply_unet_s2d,
+            s2d_params,
+        )
+
+        params = init_unet(jax.random.PRNGKey(0), UNetConfig())
+        sp = s2d_params(params)
+        x = jnp.asarray(rng.random((1, 128, 128, 3)).astype(np.float32))
+        a = np.asarray(apply_unet_s2d(sp, x, pallas_gn=False))
+        b = np.asarray(apply_unet_s2d(sp, x, pallas_gn=True))
+        np.testing.assert_allclose(a, b, atol=0.2, rtol=0.05)
+        decided = np.abs(a[..., 2]) > 0.25
+        assert ((a[..., 2] > 0) == (b[..., 2] > 0))[decided].all()
+
 
 class TestGoldenFixtureOnChip:
     def test_classical_golden_masks_match_on_chip(self):
