@@ -43,6 +43,7 @@ path.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -430,11 +431,15 @@ def apply_unet_s2d(
     forward up to float reassociation (pinned by tests).
 
     `pallas_gn` selects the fused-moments GroupNorm kernel
-    (models/gn_pallas.py) per activation where its shape tiles; None = auto
-    (on for the TPU backend). Callers compiling for another placement than
-    `jax.devices()[0]` - CPU-pinned models, spatially-sharded programs where
-    a Mosaic call cannot be partitioned along the sharded axis - pass False,
-    same contract as `flows.masks_to_flows(allow_pallas=...)`."""
+    (models/gn_pallas.py) per activation where its shape tiles; None = auto.
+    Auto is OFF: composed into the full forward on a real v5e the kernel
+    measured a 13 ms/img REGRESSION at 2048^2 (90.3 vs 77.3 ms/img,
+    profile_deep.py round 4) - the Mosaic call is a fusion barrier around
+    which XLA re-materializes the activation, costing more than the fused
+    moment sweep saves. Kept opt-in (AMT_PALLAS_GN=1), same story as the
+    blocked diffusion kernel (flows._USE_PALLAS_DIFFUSE) for hardware where
+    the tradeoff flips. Spatially-sharded callers must pass False (a Mosaic
+    call cannot be partitioned along a sharded image axis)."""
     config = config or UNetConfig()
     dtype = config.compute_dtype
     groups = config.groups
@@ -445,7 +450,8 @@ def apply_unet_s2d(
     use_pallas = (
         pallas_gn
         if pallas_gn is not None
-        else jax.devices()[0].platform not in ("cpu",)
+        else os.environ.get("AMT_PALLAS_GN", "0") == "1"
+        and jax.devices()[0].platform not in ("cpu",)
     )
 
     def gn(v, scale, bias, g):

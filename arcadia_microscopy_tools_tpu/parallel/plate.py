@@ -256,12 +256,14 @@ def _build_well_program(
         # folds the replication into the stem kernels (gray_input) and
         # feeds the 1-channel image directly.
         if s2d_supported(unet_params):
-            # pallas_gn follows the same gate as allow_pallas below: a
-            # Mosaic call cannot be partitioned along a sharded image axis
+            # pallas_gn None = auto (opt-in via AMT_PALLAS_GN; the kernel
+            # measured slower composed into the forward on v5e - see
+            # apply_unet_s2d). Spatial sharding forces it off: a Mosaic
+            # call cannot be partitioned along a sharded image axis.
             out = apply_unet_s2d(
                 s2d_params(unet_params, gray_input=True),
                 xn[None, ..., None],
-                pallas_gn=not spatial,
+                pallas_gn=False if spatial else None,
             )[0]
         else:
             out = apply_unet(unet_params, jnp.stack([xn, xn, xn], axis=-1)[None])[0]

@@ -69,22 +69,30 @@ def normalize(seg_img):
     p99 = _percentile_from_cum(cum, 99.0, H * W)
     x = seg_img.astype(jnp.float32)
     xn = jnp.clip((x - p1) / jnp.maximum(p99 - p1, 1e-6), 0.0, 1.0)
-    return jnp.stack([xn, xn, xn], axis=-1)
+    return xn[..., None]
 
 
 from arcadia_microscopy_tools_tpu.models.unet_s2d import apply_unet_s2d, s2d_params
 
-sparams = s2d_params(params)
+# production path (parallel/plate.py unet_mask): grayscale replication folded
+# into the stem kernels, Pallas fused-moments GroupNorm
+sparams = s2d_params(params, gray_input=True)
+sparams_rgb = s2d_params(params)
 
 
 @jax.jit
 def forward(net_in):
-    return apply_unet_s2d(sparams, net_in)
+    return apply_unet_s2d(sparams, net_in, pallas_gn=True)
+
+
+@jax.jit
+def forward_xla_gn(net_in):
+    return apply_unet_s2d(sparams, net_in, pallas_gn=False)
 
 
 @jax.jit
 def forward_plain(net_in):
-    return apply_unet(params, net_in)
+    return apply_unet(params, jnp.concatenate([net_in] * 3, axis=-1))
 
 
 @jax.jit
@@ -127,7 +135,9 @@ def stage_all(fn):
 
 
 net_in = timeit("normalize (histogram percentiles)", stage_all(normalize), seg_imgs)
-out = timeit("U-Net forward 2048^2 (s2d)", forward, net_in)
+out = timeit("U-Net forward 2048^2 (s2d gray+pallasGN)", forward, net_in)
+if os.environ.get("PROF_XLA_GN", "") == "1":
+    timeit("U-Net forward 2048^2 (s2d gray, XLA GN)", forward_xla_gn, net_in)
 if os.environ.get("PROF_PLAIN_FWD", "") == "1":
     timeit("U-Net forward 2048^2 (plain)", forward_plain, net_in)
 adv = timeit(f"sparse advection (niter={NITER}, cap={CAP})", stage_all(advect), out)
