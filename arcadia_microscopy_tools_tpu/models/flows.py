@@ -169,7 +169,11 @@ def _follow_sparse_core(
     # what jnp.nonzero(size=cap, fill_value=n) computes, but nonzero's
     # cumsum+scatter lowering measured 37 ms/img at 2048^2 on v5e while the
     # sort runs in ~11 ms (scatters serialize on TPU; sorts don't).
-    sorted_keys = lax.sort(jnp.where(act, own, n + own))
+    # is_stable=False: the keys are DISTINCT integers, so the sorted array
+    # is unique and stability buys nothing - but lax.sort's default
+    # is_stable=True makes XLA:TPU carry an iota tiebreaker through the
+    # whole sort network (measured 2.1x: 24.2 vs 11.3 ms/img at 2048^2).
+    sorted_keys = lax.sort(jnp.where(act, own, n + own), is_stable=False)
     if cap <= n:
         head = sorted_keys[:cap]
     else:  # small images: pad to the static cap like nonzero(size=cap) does
@@ -376,8 +380,11 @@ def _cluster_landings_compact(
     cap = idx.shape[0]
     iota = jnp.arange(cap, dtype=jnp.int32)
 
+    # only the RUN STRUCTURE of the sorted keys is consumed (first/last
+    # indices of equal-key runs), so no payload rides along and stability
+    # is irrelevant - bare unstable sort (2.3 -> 1.8 ms/img at cap 262k)
     land_key = jnp.where(valid, landing_compact, n)
-    ls, _ = lax.sort((land_key, iota), num_keys=1)
+    ls = lax.sort(land_key, is_stable=False)
 
     edge = jnp.ones((1,), bool)
     is_new = jnp.concatenate([edge, ls[1:] != ls[:-1]])
@@ -451,7 +458,10 @@ def _cluster_landings_compact(
     key_root = jnp.full((sink_cap,), n, jnp.int32).at[rep].min(tl, mode="drop")
     is_root = (rep == iota_s) & real
     root_key = jnp.where(is_root, key_root, n)
-    order_key, root_ids = lax.sort((root_key, iota_s), num_keys=1)
+    # root keys are distinct per cluster (see docstring); equal keys exist
+    # only among the n-sentinel non-roots, whose scattered value is the
+    # constant 0 - the result is permutation-invariant, so unstable is exact
+    order_key, root_ids = lax.sort((root_key, iota_s), num_keys=1, is_stable=False)
     root_label = (
         jnp.zeros((sink_cap,), jnp.int32)
         .at[root_ids]
@@ -796,11 +806,7 @@ def _flow_error_compact(
     `_finish_masks_compact` invariant). Returns (max_cells,) mean squared
     flow error per label id.
     """
-    from ..ops.segment_reduce import (
-        segment_minmax_blockwise,
-        segment_sums_matmul,
-        table_lookup_matmul,
-    )
+    from ..ops.segment_reduce import segment_sums_matmul, table_lookup_matmul
 
     h, w = labels.shape
     n = h * w
@@ -821,17 +827,25 @@ def _flow_error_compact(
     big = jnp.float32(jnp.finfo(jnp.float32).max)
     d2 = (yf - c_at[0]) ** 2 + (xf - c_at[1]) ** 2
     d2_f = jnp.where(seg > 0, d2, big)
-    dmin = segment_minmax_blockwise(d2_f[None], seg, nseg, compute_max=False)[0][0]
-    idx_f = jnp.where(valid, idx, n).astype(jnp.float32)  # exact to 2^24 px
-    candidate = (d2_f == table_lookup_matmul(dmin, seg)) & (seg > 0)
-    center_of = segment_minmax_blockwise(
-        jnp.where(candidate, idx_f, jnp.float32(n))[None], seg, nseg,
-        compute_max=False,
-    )[0][0]
-    is_center = candidate & (idx_f == table_lookup_matmul(center_of, seg))
+    # segment argmin(d2, tie: min idx) as ONE unstable 3-key sort: the head
+    # slot of each segment's run is its center pixel. Nonnegative f32 sorts
+    # identically to its int32 bit pattern, so d2 rides as bitcast keys and
+    # the selection is bit-exact vs the previous two segment-min sweeps +
+    # two table lookups (which measured ~14 ms/img of the QC at 2048^2;
+    # the cap-sized sort runs in ~2.5 ms). Triples are distinct on the
+    # active set (idx is unique); padding triples are identical copies, so
+    # unstable ordering cannot change the result.
+    d2_bits = lax.bitcast_convert_type(d2_f, jnp.int32)
+    idx_key = jnp.where(valid, idx, n)
+    seg_s, _, idx_s = lax.sort(
+        (seg, d2_bits, idx_key), num_keys=3, is_stable=False
+    )
+    ishead = (seg_s > 0) & jnp.concatenate(
+        [jnp.ones((1,), bool), seg_s[1:] != seg_s[:-1]]
+    )
     source = (
         jnp.zeros((n,), jnp.float32)
-        .at[jnp.where(is_center, idx, n)]
+        .at[jnp.where(ishead, idx_s, n)]
         .set(1.0, mode="drop")
         .reshape(h, w)
     )

@@ -325,7 +325,12 @@ def _build_well_program(
             # measure_labels + measure_intensity_stack at 2048^2 x 4ch
             seg_key = jnp.where(cm.valid, cm.lab_c, 0)
             idx_key = jnp.where(cm.valid, cm.idx, n)
-            seg_s, idx_s = lax.sort((seg_key, idx_key), num_keys=2)
+            # both arrays are keys and real (label, idx) pairs are distinct
+            # (idx is unique); the only duplicates are (0, n) padding pairs,
+            # so the sorted arrays are permutation-invariant -> unstable
+            seg_s, idx_s = lax.sort(
+                (seg_key, idx_key), num_keys=2, is_stable=False
+            )
             roots_image = jnp.where(cm.labels > 0, cm.labels - 1, n)
             props, stats = measure_compacted(
                 seg_s, idx_s, roots_image, stack, config.max_cells, w

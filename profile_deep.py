@@ -82,7 +82,7 @@ sparams_rgb = s2d_params(params)
 
 @jax.jit
 def forward(net_in):
-    return apply_unet_s2d(sparams, net_in, pallas_gn=True)
+    return apply_unet_s2d(sparams, net_in)  # production default (auto GN)
 
 
 @jax.jit
@@ -135,7 +135,7 @@ def stage_all(fn):
 
 
 net_in = timeit("normalize (histogram percentiles)", stage_all(normalize), seg_imgs)
-out = timeit("U-Net forward 2048^2 (s2d gray+pallasGN)", forward, net_in)
+out = timeit("U-Net forward 2048^2 (s2d gray)", forward, net_in)
 if os.environ.get("PROF_XLA_GN", "") == "1":
     timeit("U-Net forward 2048^2 (s2d gray, XLA GN)", forward_xla_gn, net_in)
 if os.environ.get("PROF_PLAIN_FWD", "") == "1":

@@ -125,8 +125,38 @@ def main():
         raise SystemExit("no XLA Ops events found (device tracing unsupported?)")
     total = sum(totals.values())
     print(f"device total: {total:.2f} ms ({total / B:.2f} ms/img)")
-    print(f"{'op':68s} {'ms/img':>8s} {'n':>5s} {'%':>5s}")
-    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:48]:
+
+    def category(name: str) -> str:
+        head = name.split(" = ", 1)[0].lstrip("%")
+        base = head.split(".")[0].rstrip("0123456789")
+        if base in ("copy", "reshape", "transpose", "bitcast", "pad", "slice",
+                    "concatenate", "copy-done", "copy-start"):
+            return f"layout:{base}"
+        if "convolution" in name and "fusion" not in base:
+            return "conv"
+        if base == "fusion" or base.endswith("fusion"):
+            # classify fusions by their payload where the name hints at it
+            if "convolution" in name:
+                return "fusion:conv"
+            return f"fusion:{base}" if base != "fusion" else "fusion"
+        if base in ("sort", "scatter", "gather", "while", "dynamic-slice",
+                    "dynamic-update-slice", "reduce", "custom-call",
+                    "all-reduce", "select-and-scatter", "rng"):
+            return base
+        return f"other:{base}"
+
+    cats: dict[str, float] = defaultdict(float)
+    cat_counts: dict[str, int] = defaultdict(int)
+    for name, ms in totals.items():
+        cats[category(name)] += ms
+        cat_counts[category(name)] += counts[name]
+    print(f"\n{'category':28s} {'ms/img':>8s} {'n':>6s} {'%':>5s}")
+    for c, ms in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"{c:28s} {ms / B:8.3f} {cat_counts[c]:6d} {100 * ms / total:5.1f}")
+
+    topn = int(os.environ.get("PROF_TOPN", "48"))
+    print(f"\n{'op':68s} {'ms/img':>8s} {'n':>5s} {'%':>5s}")
+    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:topn]:
         print(f"{name[:68]:68s} {ms / B:8.3f} {counts[name]:5d} {100 * ms / total:5.1f}")
 
 
