@@ -1,4 +1,4 @@
-.PHONY: test test-fast test-tpu lint bench train dryrun native docs accuracy
+.PHONY: test test-fast test-tpu test-tpu-fast lint bench train dryrun native docs accuracy
 
 native:
 	mkdir -p arcadia_microscopy_tools_tpu/_native
@@ -14,6 +14,12 @@ test-fast:
 # frontend, regionprops, one plate batch. Skips cleanly without a TPU.
 test-tpu:
 	python -m pytest tests_tpu/ -q
+
+# highest-signal on-chip subset (<5 min through the tunnel with a warm
+# compilation cache) - run on every build so Mosaic regressions fail tests
+# instead of benchmarks (round-4 VERDICT item 7)
+test-tpu-fast:
+	python -m pytest tests_tpu/ -q -m tpu_smoke
 
 lint:
 	python -m compileall -q arcadia_microscopy_tools_tpu tests tests_tpu bench.py __graft_entry__.py

@@ -24,8 +24,11 @@ Dimension ID legend (LAS X): 1=X, 2=Y, 3=Z, 4=T, 5=lambda(em), 6=Rotation,
 
 from __future__ import annotations
 
+import os
 import struct
+import threading
 import xml.etree.ElementTree as ET
+from collections import OrderedDict
 from datetime import datetime, timedelta, timezone
 from pathlib import Path
 from typing import Any

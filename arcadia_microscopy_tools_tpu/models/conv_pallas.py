@@ -35,9 +35,12 @@ Like every Mosaic kernel in this package the call is gated OUTSIDE jit
 (backend == TPU, shapes tile; `conv_pallas_viable`) and carries a
 `sequential_vmap` rule so the plate runtime's well-vmap lowers (a Pallas
 grid is sequential on a TensorCore; batch-in-lax.map schedules identically
-to batch-in-grid). Replaces the intra-image patch batching of the
-reference's Cellpose path (src/arcadia_microscopy_tools/model.py:43-45) on
-the TPU fast path.
+to batch-in-grid). STAGED/EXPERIMENTAL: production forwards currently use
+the XLA conv path (models/unet.py / unet_s2d.py); this kernel is exercised
+by the parity tests and tools/prof_conv_exp.py and is a candidate
+replacement for the intra-image patch batching of the reference's Cellpose
+path (src/arcadia_microscopy_tools/model.py:43-45) once it beats the XLA
+conv on-chip end to end.
 """
 
 from __future__ import annotations

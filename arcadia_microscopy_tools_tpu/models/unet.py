@@ -143,9 +143,22 @@ def _group_norm(x, scale, bias, groups):
     cg = c // g
     n = h * w * cg
     s1 = jnp.sum(x, axis=(1, 2), dtype=jnp.float32)
-    s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2))
     mean = s1.reshape(b, g, cg).sum(axis=2) / n  # (b, g)
-    var = s2.reshape(b, g, cg).sum(axis=2) / n - mean * mean
+    if x.dtype == jnp.float32:
+        # f32 path (training / accuracy-sensitive): two-pass centered
+        # variance avoids the E[x^2]-mean^2 cancellation when mean >> std.
+        # The extra sweep only costs on the bf16 inference path, which keeps
+        # the one-pass form below.
+        mean_full = jnp.repeat(mean, cg, axis=1)[:, None, None, :]
+        var = (
+            jnp.sum(jnp.square(x - mean_full), axis=(1, 2))
+            .reshape(b, g, cg)
+            .sum(axis=2)
+            / n
+        )
+    else:
+        s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2))
+        var = s2.reshape(b, g, cg).sum(axis=2) / n - mean * mean
     mean_c = jnp.repeat(mean, cg, axis=1)[:, None, None, :]
     inv_c = jnp.repeat(lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5), cg, axis=1)[
         :, None, None, :

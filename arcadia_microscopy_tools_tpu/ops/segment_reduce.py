@@ -39,6 +39,29 @@ __all__ = [
 ]
 
 
+def _bf16_round(x: jax.Array) -> jax.Array:
+    """x rounded to the nearest bf16 value (ties-to-even), returned as f32.
+
+    Computed with integer bit arithmetic on the f32 pattern instead of an
+    f32->bf16->f32 convert pair: XLA:TPU's excess-precision folding elides
+    the convert roundtrip (treating it as a no-op widening), which silently
+    zeroes the `lo` residual in the splits below and re-rounds `hi` inside
+    the matmul - measured 33/82501 absolute error on 2048^2 centroid sums
+    before the round-4 fix. The first fix pinned the converts with
+    `optimization_barrier`, but a barrier also fences fusion inside the
+    measurement scan body (measured -7% on the classical plate composite,
+    27.9 -> 26.1 img/s). The bit-level round is semantically identical to
+    the hardware convert (bf16 = top 16 bits of f32 with RN-even, carry
+    propagating into the exponent is correct IEEE behavior; inputs here are
+    finite) and is plain fusible integer elementwise work.
+    """
+    u = lax.bitcast_convert_type(x, jnp.uint32)
+    rounded = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) & jnp.uint32(
+        0xFFFF0000
+    )
+    return lax.bitcast_convert_type(rounded, jnp.float32)
+
+
 def _split_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Split f32 values into two bf16-exact parts: x = hi + lo.
 
@@ -46,15 +69,13 @@ def _split_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     residual fits in another bf16 with disjoint exponent range, so
     hi + lo reconstructs x to ~16 mantissa bits - enough for pixel
     coordinates (< 2^12) and their squares (< 2^24) to survive exactly.
-
-    The barrier is load-bearing: XLA:TPU's excess-precision folding elides
-    the f32->bf16->f32 roundtrip (treating it as a no-op widening), which
-    silently turns `lo` into zero and re-rounds `hi` inside the matmul -
-    measured 33/82501 absolute error on 2048^2 centroid sums (exact on the
-    CPU backend, where the folding does not fire).
+    `_bf16_round` (not a convert pair) keeps XLA from folding the split
+    away; see its docstring.
     """
-    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16)).astype(jnp.float32)
-    lo = (x - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    hi = _bf16_round(x)
+    # lo is consumed through a bf16 cast at the matmul input, which applies
+    # the same rounding an explicit roundtrip here would
+    lo = x - hi
     return hi, lo
 
 
@@ -175,12 +196,13 @@ def segment_minmax_blockwise(
 def _split3_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Three-way bf16 split (~24 mantissa bits): x = a + b + c.
 
-    Barriers as in `_split_bf16`: XLA:TPU would otherwise fold the
-    f32->bf16->f32 roundtrips away and zero the residuals."""
-    a = jax.lax.optimization_barrier(x.astype(jnp.bfloat16)).astype(jnp.float32)
+    `_bf16_round` (integer bit round, not a convert pair) keeps XLA:TPU's
+    excess-precision folding from eliding the roundtrips and zeroing the
+    residuals; see `_bf16_round`."""
+    a = _bf16_round(x)
     r = x - a
-    b = jax.lax.optimization_barrier(r.astype(jnp.bfloat16)).astype(jnp.float32)
-    c = (r - b).astype(jnp.bfloat16).astype(jnp.float32)
+    b = _bf16_round(r)
+    c = r - b
     return a, b, c
 
 
@@ -277,11 +299,10 @@ def segment_central_moments(
             dev = jnp.stack([vc[ci] - lookup(mean_parts[ci]) for ci in range(c)])
             rows.append(dev * dev)
         quantities = jnp.concatenate(rows, axis=0)  # (3+E+C, B)
-        # barrier: see _split_bf16 (XLA:TPU folds the bf16 roundtrip away,
-        # zeroing the residual row)
-        hi = jax.lax.optimization_barrier(
-            quantities.astype(jnp.bfloat16)
-        ).astype(jnp.float32)
+        # integer-bit round: see _bf16_round (a convert pair would be folded
+        # away by XLA:TPU, zeroing the residual row; a barrier would fence
+        # fusion across the scan body)
+        hi = _bf16_round(quantities)
         lo = quantities - hi
         qmat = jnp.concatenate([hi, lo], axis=0).astype(jnp.bfloat16)
         sums = jax.lax.dot_general(
@@ -363,10 +384,8 @@ def segment_variances(
 
         dev = jnp.stack([vals[ci] - lookup(mean_parts[ci]) for ci in range(c)])
         dsq = dev * dev  # (C, B)
-        # barrier: see _split_bf16
-        hi = jax.lax.optimization_barrier(
-            dsq.astype(jnp.bfloat16)
-        ).astype(jnp.float32)
+        # integer-bit round: see _bf16_round
+        hi = _bf16_round(dsq)
         lo = dsq - hi
         qmat = jnp.concatenate([hi, lo], axis=0).astype(jnp.bfloat16)
         sums = jax.lax.dot_general(

@@ -117,6 +117,14 @@ def run_plate_multiprocess(
         raise ValueError(
             f"batch_size={G} must be divisible by process_count={n_proc}"
         )
+    n_batch_devices = mesh.shape["hosts"] * wells_axis
+    if G % n_batch_devices != 0:
+        raise ValueError(
+            f"batch_size={G} must be divisible by the mesh's batch device "
+            f"count hosts*wells={n_batch_devices} "
+            f"(hosts={mesh.shape['hosts']}, wells={wells_axis}); "
+            "make_array_from_process_local_data requires an even split"
+        )
     per_proc = G // n_proc
 
     ids = list(layout.well_ids)
@@ -216,11 +224,11 @@ def run_plate_multiprocess(
             props, intensity, health_d = _unpack_outputs(
                 packed_h, health_h, measure_idx
             )
-            needs_retry = any(
-                runner._well_health_problem(health_d, i, cfg) is not None
-                and runner._well_health_problem(health_d, i, cfg)[0] == "capacity"
+            problems = [
+                runner._well_health_problem(health_d, i, cfg)
                 for i in range(len(batch_ids))
-            )
+            ]
+            needs_retry = any(p is not None and p[0] == "capacity" for p in problems)
             if not needs_retry or level == 2:
                 break
         timings["device_s"] += time.time() - t0

@@ -53,6 +53,30 @@ def _xla_cost(jitted, *args) -> tuple[float, float]:
         return 0.0, 0.0
 
 
+def _trials(default: int = 5) -> int:
+    return max(1, int(os.environ.get("BENCH_TRIALS", str(default))))
+
+
+def _rate_stats(time_one_trial, n_items: int, trials: int) -> dict:
+    """Median-of-trials throughput with spread. Each trial re-times the same
+    dispatch loop; the tunnel jitters enough that single point estimates
+    cannot gate regressions (round-4 VERDICT item 2), so every metric now
+    reports the median rate, the relative spread (max-min)/median, and the
+    raw per-trial rates."""
+    rates = []
+    for _ in range(trials):
+        rates.append(n_items / time_one_trial())
+    rates.sort()
+    n = len(rates)
+    med = rates[n // 2] if n % 2 else 0.5 * (rates[n // 2 - 1] + rates[n // 2])
+    return {
+        "rate": med,
+        "spread": round((rates[-1] - rates[0]) / med, 4) if med else 0.0,
+        "trials": trials,
+        "trial_rates": [round(r, 3) for r in rates],
+    }
+
+
 def _emit(metric: str, rate: float, flops_per_img: float = 0.0,
           bytes_per_img: float = 0.0, **extra) -> None:
     line = {
@@ -93,15 +117,21 @@ def _bench_preprocessing(B: int, H: int, reps: int) -> None:
 
     flops, nbytes = _xla_cost(program, tiles)
     _ = float(program(tiles).ravel()[0])
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = program(tiles)
-    _ = float(out.ravel()[0])
-    rate = B * reps / (time.time() - t0)
+
+    def trial():
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = program(tiles)
+        _ = float(out.ravel()[0])
+        return time.time() - t0
+
+    stats = _rate_stats(trial, B * reps, _trials())
     _emit(
         f"{H}x{H} preprocessing (gaussian+median+rolling-ball)",
-        rate, flops / B, nbytes / B,
+        stats["rate"], flops / B, nbytes / B,
+        spread=stats["spread"], trials=stats["trials"],
+        trial_rates=stats["trial_rates"],
     )
 
 
@@ -128,15 +158,21 @@ def _bench_unet(B: int, reps: int, H: int = 512) -> None:
 
     flops, nbytes = _xla_cost(program, params, x)
     _ = float(program(params, x).ravel()[0])
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = program(params, x)
-    _ = float(out.ravel()[0])
-    rate = B * reps / (time.time() - t0)
+
+    def trial():
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = program(params, x)
+        _ = float(out.ravel()[0])
+        return time.time() - t0
+
+    stats = _rate_stats(trial, B * reps, _trials())
     _emit(
         f"{H}x{H} U-Net segment (forward + flow tracking)",
-        rate, flops / B, nbytes / B,
+        stats["rate"], flops / B, nbytes / B,
+        spread=stats["spread"], trials=stats["trials"],
+        trial_rates=stats["trial_rates"],
     )
 
 
@@ -185,15 +221,21 @@ def _bench_unet_plate(wells, reps: int) -> None:
             "rate would undercount the work - raise fg_cap_fraction"
         )
     flops, nbytes = _xla_cost(program, wells)
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = program(wells)
-    force(out)
-    rate = B * reps / (time.time() - t0)
+
+    def trial():
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = program(wells)
+        force(out)
+        return time.time() - t0
+
+    stats = _rate_stats(trial, B * reps, _trials())
     _emit(
         f"{H}x{H} 4-ch U-Net plate throughput (forward+flows+measure)",
-        rate, flops / B, nbytes / B,
+        stats["rate"], flops / B, nbytes / B,
+        spread=stats["spread"], trials=stats["trials"],
+        trial_rates=stats["trial_rates"],
     )
 
 
@@ -237,17 +279,24 @@ def _bench_timelapse_classical(B: int, T: int, H: int, reps: int) -> None:
         return int(out[0, 0, 0])
 
     _ = force(program(stack))
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = program(stack)
-    _ = force(out)
-    rate = B * T * reps / (time.time() - t0)
+
+    def trial():
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = program(stack)
+        _ = force(out)
+        return time.time() - t0
+
+    stats = _rate_stats(trial, B * T * reps, _trials())
     print(json.dumps({
         "metric": f"{H}x{H} timelapse classical (local threshold+opening+CC)",
-        "value": round(rate, 3),
+        "value": round(stats["rate"], 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(rate / 12.5, 3),
+        "vs_baseline": round(stats["rate"] / 12.5, 3),
+        "spread": stats["spread"],
+        "trials": stats["trials"],
+        "trial_rates": stats["trial_rates"],
     }))
 
 
@@ -335,23 +384,37 @@ def _bench_decode_inclusive(n_wells: int, H: int, fmt: str = "nd2") -> None:
     runner = PlateRunner(PlateRunConfig(max_cells=1024, min_size=20, batch_size=8))
     runner.run(MicroplateLayout([Well(id=ids[0])]), source)  # compile warmup
 
-    t0 = time.time()
-    results = runner.run(layout, source)
-    wall = time.time() - t0
-    assert not results.failed_wells, results.failed_wells
-    rate = n_wells / wall
-    timings = {k: round(v, 3) for k, v in results.timings.items()}
-    if results.timings.get("decode_wells"):
+    walls = []
+    last = None
+
+    def trial():
+        nonlocal last
+        t0 = time.time()
+        results = runner.run(layout, source)
+        dt = time.time() - t0
+        assert not results.failed_wells, results.failed_wells
+        walls.append(dt)
+        last = results
+        return dt
+
+    # decode-inclusive trials are expensive (full plate decode each time);
+    # default 3 here vs 5 for the compute-only configs
+    stats = _rate_stats(trial, n_wells, _trials(3))
+    timings = {k: round(v, 3) for k, v in last.timings.items()}
+    if last.timings.get("decode_wells"):
         timings["decode_cpu_ms_per_well"] = round(
-            1e3 * results.timings["decode_cpu_s"] / results.timings["decode_wells"], 1
+            1e3 * last.timings["decode_cpu_s"] / last.timings["decode_wells"], 1
         )
     print(json.dumps({
         "metric": f"{H}x{H} {C}-ch {fmt.upper()}-decode-inclusive plate throughput",
-        "value": round(rate, 3),
+        "value": round(stats["rate"], 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(rate / 12.5, 3),
+        "vs_baseline": round(stats["rate"] / 12.5, 3),
+        "spread": stats["spread"],
+        "trials": stats["trials"],
+        "trial_rates": stats["trial_rates"],
         "timings": timings,
-        "wall_s": round(wall, 3),
+        "wall_s": round(sorted(walls)[len(walls) // 2], 3),
     }))
 
 
@@ -458,17 +521,17 @@ def main() -> None:
     # warmup / compile
     force(program(wells))
 
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = program(wells)
-    force(out)
-    elapsed = time.time() - t0
+    def trial():
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = program(wells)
+        force(out)
+        return time.time() - t0
 
-    n_images = B * reps
-    rate = n_images / elapsed
+    stats = _rate_stats(trial, B * reps, _trials())
     n_chips = max(1, len([d for d in jax.devices() if d.platform != "cpu"]))
-    per_chip = rate / n_chips
+    per_chip = stats["rate"] / n_chips
 
     # secondary metrics first (the headline line prints LAST so single-line
     # consumers read the primary metric). Every BASELINE config runs every
@@ -499,6 +562,9 @@ def main() -> None:
         "value": round(per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / target_per_chip, 3),
+        "spread": stats["spread"],
+        "trials": stats["trials"],
+        "trial_rates": stats["trial_rates"],
     }
     print(json.dumps(result))
 

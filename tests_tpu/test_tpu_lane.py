@@ -28,6 +28,7 @@ def _blobs(rng, h=256, w=256, n=12, amp=3000.0):
 
 
 class TestPallasCCCompiled:
+    @pytest.mark.tpu_smoke
     def test_compiled_kernel_matches_xla_path(self, rng):
         """The Pallas block-local CC kernel, compiled by Mosaic on the chip,
         must produce the same labels as the pure-XLA sweep path."""
@@ -64,6 +65,7 @@ class TestPallasCCCompiled:
 
 
 class TestPallasRankCompiled:
+    @pytest.mark.tpu_smoke
     @pytest.mark.parametrize("window", [11, 15])
     def test_median_matches_scipy(self, rng, window):
         from scipy import ndimage as ndi
@@ -78,6 +80,7 @@ class TestPallasRankCompiled:
 
 
 class TestFusedFrontendCompiled:
+    @pytest.mark.tpu_smoke
     def test_fused_mask_equals_reference_chain(self, rng):
         """fused_classical_mask on-chip vs the oracle chain (DoG -> rescale
         -> otsu) from the test reference implementations."""
@@ -125,6 +128,7 @@ class TestRegionpropsCompiled:
 
 
 class TestPlateBatchCompiled:
+    @pytest.mark.tpu_smoke
     def test_one_plate_batch_on_chip(self, rng):
         from arcadia_microscopy_tools_tpu.core.microplate import (
             MicroplateLayout,
@@ -199,6 +203,7 @@ class TestDiffusePallasCompiled:
     temporally-blocked stencil must be exactly equal to the dense XLA loop
     (same check as tests/test_models.py runs in interpreter mode)."""
 
+    @pytest.mark.tpu_smoke
     def test_diffusion_parity_on_chip(self, rng):
         import jax.numpy as jnp
 

@@ -242,6 +242,7 @@ class TestS2DForwardOnChip:
         decided = np.abs(a[..., 2]) > 0.25
         assert ((a[..., 2] > 0) == (b[..., 2] > 0))[decided].all()
 
+    @pytest.mark.tpu_smoke
     def test_pallas_gn_matches_xla_gn_on_chip(self, rng):
         """group_norm_pallas through real Mosaic lowering (including the
         revisited-output accumulation and the sequential_vmap rule under
@@ -294,6 +295,7 @@ class TestS2DForwardOnChip:
 
 
 class TestGoldenFixtureOnChip:
+    @pytest.mark.tpu_smoke
     def test_classical_golden_masks_match_on_chip(self):
         """The pinned golden classical masks (tests/data/golden_masks/*,
         generated on CPU) recomputed through the TPU compile path.
