@@ -174,7 +174,7 @@ def _kernel(
     if has_prologue:
         # previous-GN normalize+affine (+relu) on the fly; edge halo rows
         # were zeroed above and affine(0) != 0, so re-zero them after
-        f = a.astype(jnp.float32) * sc_ref[0][None] + bi_ref[0][None]
+        f = a.astype(jnp.float32) * sc_ref[b][None] + bi_ref[b][None]
         if relu:
             f = jnp.maximum(f, 0.0)
         a = f.astype(a.dtype)
@@ -189,7 +189,8 @@ def _kernel(
     acc = jnp.zeros((th * w_, co), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            xs = lax.dynamic_slice(ap, (dy, dx, 0), (th, w_, c))
+            # static tap offsets: Mosaic lowers static slices only
+            xs = ap[dy : dy + th, dx : dx + w_, :]
             acc = acc + lax.dot_general(
                 xs.reshape(th * w_, c),
                 w_ref[dy, dx],
@@ -245,9 +246,11 @@ def _conv_call(
         pl.BlockSpec((3, 3, c, co), lambda bi_, ni: (0, 0, 0, 0)),
     ]
     if has_prologue:
+        # full (B, C) blocks: a (1, C) block would violate Mosaic's
+        # 8-sublane block minimum; the kernel indexes row b itself
         in_specs += [
-            pl.BlockSpec((1, c), lambda bi_, ni: (bi_, 0)),
-            pl.BlockSpec((1, c), lambda bi_, ni: (bi_, 0)),
+            pl.BlockSpec((b, c), lambda bi_, ni: (0, 0)),
+            pl.BlockSpec((b, c), lambda bi_, ni: (0, 0)),
         ]
     if has_accum:
         in_specs += [pl.BlockSpec((1, th, w_, co), lambda bi_, ni: (bi_, ni, 0, 0))]

@@ -493,7 +493,7 @@ def _finish_masks_compact(
     idx: jax.Array,
     valid: jax.Array,
     landing_compact: jax.Array,
-    flows: jax.Array,
+    flows: jax.Array | None,
     h: int,
     w: int,
     flow_threshold: float,
@@ -503,6 +503,7 @@ def _finish_masks_compact(
     sink_cap: int | None = None,
     clear_border_labels: bool = False,
     allow_pallas: bool | None = None,
+    pred_c: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Compact-domain twin of `_finish_masks`: size filter, flow-error QC and
     sequential renumbering all run on (cap,)-sized arrays; the label image is
@@ -549,7 +550,7 @@ def _finish_masks_compact(
         use_pallas = _resolve_use_pallas(labels, (h, w), allow_pallas)
         errors = _flow_error_compact(
             idx, valid, lab_c, labels, flows, max_cells,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, pred_c=pred_c,
         )
         bad = errors > flow_threshold
         bad_lut = jnp.concatenate([jnp.array([False]), bad])
@@ -784,10 +785,11 @@ def _flow_error_compact(
     valid: jax.Array,  # (cap,) bool
     lab_c: jax.Array,  # (cap,) int32 final labels per compact pixel (0 = bg)
     labels: jax.Array,  # (H, W) int32 label image (scatter of lab_c at idx)
-    predicted_flows: jax.Array,  # (H, W, 2) unit flows from the network
+    predicted_flows: jax.Array | None,  # (H, W, 2) unit flows (None: pred_c)
     max_cells: int,
     n_iter: int = 128,
     use_pallas: bool = False,
+    pred_c: jax.Array | None = None,  # (cap, 2) flows at compact pixels
 ) -> jax.Array:
     """`flow_error` in the compact domain. The full-image version spends its
     time in per-label reductions and table lookups over all H*W pixels
@@ -855,8 +857,10 @@ def _flow_error_compact(
     )
 
     # per-mask MSE over the active set only: two cap-sized gathers replace
-    # the full-image squared-error reduction
-    pred_c = predicted_flows.reshape(n, 2)[idx_safe]
+    # the full-image squared-error reduction (pred_c pre-gathered by S2D
+    # callers whose network output never exists in planar layout)
+    if pred_c is None:
+        pred_c = predicted_flows.reshape(n, 2)[idx_safe]
     comp_c = computed.reshape(n, 2)[idx_safe]
     se = jnp.sum((pred_c - comp_c) ** 2, axis=-1) * vf
     sums2 = segment_sums_matmul(jnp.stack([se, vf]), seg, nseg)
@@ -1024,6 +1028,155 @@ def compute_masks_sparse_compact(
         min_size,
         clear_border_labels=clear_border_labels,
         allow_pallas=allow_pallas,
+    )
+    return CompactMasks(labels, lab_c, idx, valid, ok & ~sink_ovf)
+
+
+def _follow_sparse_core_s2d(
+    out_s2d: jax.Array,  # (H/2, W/2, 12) f32 head output, (c, a) order
+    cellprob_threshold: float,
+    niter: int,
+    cap: int,
+    want_pred_c: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array | None]:
+    """`_follow_sparse_core` reading the network output ON the S2D grid.
+
+    The S2D forward's head (models/unet_s2d.apply_unet_s2d(out_s2d=True))
+    emits (H/2, W/2, 12) with flat channel c*4 + (ay*2 + ax) - the planar
+    (H, W, 3) tensor is a pure permutation of it that costs a
+    depth-to-space conv plus layout-hostile 3-minor-lane slices to
+    materialize and read (~12 ms/img at 2048^2 on v5e). Everything this
+    core needs is elementwise (threshold, one advection step) or
+    gather-by-flat-index, so it computes flat image coordinates from
+    broadcasted iotas instead: y = 2i + ay, x = 2j + ax. The compaction
+    sort keys are true flat indices whatever the element order, so `idx`,
+    `landing_compact` and all downstream results are bit-identical to the
+    planar core fed the permuted tensor (equivalence-tested).
+
+    Returns (idx, valid, landing_compact, ok, pred_c): as the planar core,
+    plus the (cap, 2) predicted unit flows gathered at the compact pixels
+    (None unless `want_pred_c`) for `_flow_error_compact`.
+    """
+    h2, w2, ch = out_s2d.shape
+    assert ch == 12, f"expected 12 S2D channels, got {ch}"
+    h, w = 2 * h2, 2 * w2
+    n = h * w
+    i = lax.broadcasted_iota(jnp.int32, (h2, w2, 4), 0)
+    j = lax.broadcasted_iota(jnp.int32, (h2, w2, 4), 1)
+    a = lax.broadcasted_iota(jnp.int32, (h2, w2, 4), 2)
+    y = 2 * i + (a >> 1)
+    x = 2 * j + (a & 1)
+    fy = out_s2d[..., 0:4].astype(jnp.float32) / 5.0
+    fx = out_s2d[..., 4:8].astype(jnp.float32) / 5.0
+    act3 = out_s2d[..., 8:12] > cellprob_threshold
+    ny = jnp.clip(jnp.round(y.astype(jnp.float32) + fy).astype(jnp.int32), 0, h - 1)
+    nx = jnp.clip(jnp.round(x.astype(jnp.float32) + fx).astype(jnp.int32), 0, w - 1)
+    own3 = y * w + x
+    nxt_r = jnp.where(act3, ny * w + nx, own3).ravel()
+    act = act3.ravel()
+    own = own3.ravel()
+
+    n_active = jnp.sum(act)
+    ok = n_active <= cap
+    # identical compaction to the planar core: the keys are flat indices,
+    # so sorting them yields the SAME ascending active-index list from the
+    # S2D element order (see _follow_sparse_core for the is_stable story)
+    sorted_keys = lax.sort(jnp.where(act, own, n + own), is_stable=False)
+    if cap <= n:
+        head = sorted_keys[:cap]
+    else:
+        head = jnp.pad(sorted_keys, (0, cap - n), constant_values=n)
+    idx = jnp.where(head < n, head, n)
+    valid = idx < n
+    idx_safe = jnp.where(valid, idx, 0)
+
+    # S2D ravel position of each compact pixel: pure index arithmetic
+    # replaces the planar path's flat-ordered successor table
+    iy, ix = idx_safe // w, idx_safe % w
+    sub = (iy & 1) * 2 + (ix & 1)
+    base = (iy >> 1) * w2 + (ix >> 1)
+    succ = nxt_r[base * 4 + sub]
+
+    slot = jnp.full((n,), cap, jnp.int32).at[idx_safe].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop"
+    )
+    comp_next = slot[succ]
+    comp_next = jnp.where(
+        valid & (comp_next < cap), comp_next, jnp.arange(cap, dtype=jnp.int32)
+    )
+
+    steps = max(1, int(np.ceil(np.log2(max(niter, 2)))))
+
+    def cond(state):
+        it, _, changed = state
+        return changed & (it < steps)
+
+    def body(state):
+        it, cur, _ = state
+        new = cur[cur]
+        return it + 1, new, jnp.any(new != cur)
+
+    _, comp_final, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), comp_next, jnp.bool_(True))
+    )
+    landing_compact = idx_safe[comp_final]
+
+    pred_c = None
+    if want_pred_c:
+        out_r = out_s2d.reshape(-1)
+        off = base * 12 + sub
+        pred_c = jnp.stack([out_r[off], out_r[off + 4]], axis=-1) / 5.0
+    return idx, valid, landing_compact, ok, pred_c
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "niter",
+        "max_cells",
+        "min_size",
+        "flow_threshold",
+        "cap",
+        "clear_border_labels",
+        "allow_pallas",
+    ),
+)
+def compute_masks_sparse_compact_s2d(
+    out_s2d: jax.Array,  # (H/2, W/2, 12): S2D head output, (c, a) order
+    cap: int,
+    cellprob_threshold: float = 0.0,
+    flow_threshold: float = 0.4,
+    niter: int = 200,
+    max_cells: int = 1024,
+    min_size: int = 15,
+    clear_border_labels: bool = False,
+    allow_pallas: bool | None = None,
+) -> CompactMasks:
+    """`compute_masks_sparse_compact` on the S2D-grid head output.
+
+    Same results (bit-identical labels given the permuted same values) and
+    the same CompactMasks contract, without ever materializing the planar
+    (H, W, 3) network output - the plate runner's deep path pairs this
+    with `apply_unet_s2d(out_s2d=True)`.
+    """
+    h2, w2, _ = out_s2d.shape
+    h, w = 2 * h2, 2 * w2
+    idx, valid, landing_compact, ok, pred_c = _follow_sparse_core_s2d(
+        out_s2d, cellprob_threshold, niter, cap, want_pred_c=flow_threshold > 0
+    )
+    labels, lab_c, sink_ovf = _finish_masks_compact(
+        idx,
+        valid,
+        landing_compact,
+        None,
+        h,
+        w,
+        flow_threshold,
+        max_cells,
+        min_size,
+        clear_border_labels=clear_border_labels,
+        allow_pallas=allow_pallas,
+        pred_c=pred_c,
     )
     return CompactMasks(labels, lab_c, idx, valid, ok & ~sink_ovf)
 

@@ -305,6 +305,11 @@ def s2d_params(params: Params, gray_input: bool = False) -> Params:
         "style_proj": params["style_proj"],
         "head": jnp.asarray(_head_kernel(head)),
         "head_bias": jnp.asarray(params["head_bias"]),
+        # S2D-form head (block-diagonal 1x1): same dot products as the
+        # transposed-conv head, emitted on the half-resolution grid for
+        # consumers that read the output elementwise (out_s2d=True)
+        "head_s2d": jnp.asarray(_s2d_conv_kernel(head)),
+        "head_bias_s2d": jnp.repeat(jnp.asarray(params["head_bias"]), 4),
         "d2s_up2": jnp.asarray(_d2s_kernel(nb1, head.dtype)),
     }
     return out
@@ -425,10 +430,18 @@ def apply_unet_s2d(
     x: jax.Array,
     config: UNetConfig | None = None,
     pallas_gn: bool | None = None,
+    out_s2d: bool = False,
 ) -> jax.Array:
     """`unet.apply_unet` on S2D-rewritten parameters; same (B, H, W, Cin) ->
     (B, H, W, 3) contract, H and W multiples of 8. Equal to the plain
     forward up to float reassociation (pinned by tests).
+
+    `out_s2d=True` returns the head output ON the half-resolution S2D grid,
+    (B, H/2, W/2, 12) in (c, a) channel order (flat = c*4 + (ay*2 + ax)):
+    the same dot products as the transposed-conv head without the
+    depth-to-space permutation, for consumers that read the network output
+    elementwise (models/flows.compute_masks_sparse_compact_s2d). `_d2s` of
+    it with c=3 is exactly the planar output.
 
     `pallas_gn` selects the fused-moments GroupNorm kernel
     (models/gn_pallas.py) per activation where its shape tiles; None = auto.
@@ -497,6 +510,11 @@ def apply_unet_s2d(
     h = _conv_block_s2d_up(sparams["up2"], h, h0, groups, dtype, gn=gn)
     sb2 = (style @ sparams["style_proj"][2]).astype(h.dtype)
     h = h + jnp.repeat(sb2, 4, axis=1)[:, None, None, :]
+
+    if out_s2d:
+        # head on the S2D grid: block-diagonal 1x1 conv, no depth-to-space
+        out = _conv2d(h, sparams["head_s2d"], dtype) + sparams["head_bias_s2d"]
+        return out.astype(jnp.float32)
 
     # head + depth-to-space fused in one transposed conv -> full resolution
     out = _conv_d2s(h, sparams["head"], dtype) + sparams["head_bias"]

@@ -223,7 +223,10 @@ def _build_well_program(
         sort: seg_img is uint16, so the histogram reproduces np.percentile
         bit-exactly at ~1/10 the cost.
         """
-        from ..models.flows import compute_masks_sparse_compact
+        from ..models.flows import (
+            compute_masks_sparse_compact,
+            compute_masks_sparse_compact_s2d,
+        )
         from ..models.unet import apply_unet
         from ..models.unet_s2d import apply_unet_s2d, s2d_params, s2d_supported
         from ..ops.fused import _percentile_from_cum
@@ -255,27 +258,11 @@ def _build_well_program(
         # contract over a single segmentation channel), so the S2D path
         # folds the replication into the stem kernels (gray_input) and
         # feeds the 1-channel image directly.
-        if s2d_supported(unet_params):
-            # pallas_gn None = auto (opt-in via AMT_PALLAS_GN; the kernel
-            # measured slower composed into the forward on v5e - see
-            # apply_unet_s2d). Spatial sharding forces it off: a Mosaic
-            # call cannot be partitioned along a sharded image axis.
-            out = apply_unet_s2d(
-                s2d_params(unet_params, gray_input=True),
-                xn[None, ..., None],
-                pallas_gn=False if spatial else None,
-            )[0]
-        else:
-            out = apply_unet(unet_params, jnp.stack([xn, xn, xn], axis=-1)[None])[0]
-        if ph or pw:
-            out = out[:h, :w]
         # active-pixel cap for the sparse flow integration: same sizing as
         # the classical path's foreground-compaction capacity
         cap = max(1, int(h * w * config.fg_cap_fraction))
         cap = min(-(-cap // 8192) * 8192, h * w)
-        return compute_masks_sparse_compact(
-            out,
-            cap,
+        mask_kwargs = dict(
             cellprob_threshold=config.cellprob_threshold,
             flow_threshold=config.flow_threshold,
             niter=config.niter,
@@ -287,6 +274,37 @@ def _build_well_program(
             # diffusion, same as the classical path's allow_pallas gate
             allow_pallas=not spatial,
         )
+        if s2d_supported(unet_params):
+            # pallas_gn None = auto (opt-in via AMT_PALLAS_GN; the kernel
+            # measured slower composed into the forward on v5e - see
+            # apply_unet_s2d). Spatial sharding forces it off: a Mosaic
+            # call cannot be partitioned along a sharded image axis.
+            sp = s2d_params(unet_params, gray_input=True)
+            if not (ph or pw):
+                # unpadded case (production 2048^2 wells): head stays on
+                # the half-resolution S2D grid and the mask path reads it
+                # there - the planar (H, W, 3) tensor, its depth-to-space
+                # conv and its 3-minor-lane slices never materialize.
+                # Bit-identical to the planar route (equivalence-tested).
+                out_s2d = apply_unet_s2d(
+                    sp,
+                    xn[None, ..., None],
+                    pallas_gn=False if spatial else None,
+                    out_s2d=True,
+                )[0]
+                return compute_masks_sparse_compact_s2d(
+                    out_s2d, cap, **mask_kwargs
+                )
+            out = apply_unet_s2d(
+                sp,
+                xn[None, ..., None],
+                pallas_gn=False if spatial else None,
+            )[0]
+        else:
+            out = apply_unet(unet_params, jnp.stack([xn, xn, xn], axis=-1)[None])[0]
+        if ph or pw:
+            out = out[:h, :w]
+        return compute_masks_sparse_compact(out, cap, **mask_kwargs)
 
     def well_fn(img):  # (C, H, W) uint16
         seg_img = img[seg_idx]

@@ -86,6 +86,25 @@ def forward(net_in):
 
 
 @jax.jit
+def forward_s2d_out(net_in):
+    # production deep-plate head: stays on the half-resolution S2D grid
+    return apply_unet_s2d(sparams, net_in, out_s2d=True)
+
+
+@jax.jit
+def advect_s2d(out_s2d):
+    return F._follow_sparse_core_s2d(out_s2d, 0.0, NITER, CAP, want_pred_c=True)
+
+
+@jax.jit
+def reconstruct_s2d(idx, valid, landing_compact, pred_c):
+    return F._finish_masks_compact(
+        idx, valid, landing_compact, None, H, W, 0.4, MAX_CELLS, 20,
+        clear_border_labels=False, pred_c=pred_c,
+    )
+
+
+@jax.jit
 def forward_xla_gn(net_in):
     return apply_unet_s2d(sparams, net_in, pallas_gn=False)
 
@@ -140,6 +159,14 @@ if os.environ.get("PROF_XLA_GN", "") == "1":
     timeit("U-Net forward 2048^2 (s2d gray, XLA GN)", forward_xla_gn, net_in)
 if os.environ.get("PROF_PLAIN_FWD", "") == "1":
     timeit("U-Net forward 2048^2 (plain)", forward_plain, net_in)
+out_s2d = timeit("U-Net forward 2048^2 (s2d-grid head)", forward_s2d_out, net_in)
+adv2 = timeit(
+    f"sparse advection s2d (niter={NITER}, cap={CAP})", stage_all(advect_s2d), out_s2d
+)
+timeit(
+    "recon+QC s2d (cluster+filter+flow-error)",
+    stage_all(reconstruct_s2d), adv2[0], adv2[1], adv2[2], adv2[4],
+)
 adv = timeit(f"sparse advection (niter={NITER}, cap={CAP})", stage_all(advect), out)
 idx, valid, landing, ok = adv
 rec = timeit(

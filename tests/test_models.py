@@ -563,6 +563,48 @@ class TestUNetS2D:
         ys = lax.conv_general_dilated(xs, wp, (1, 1), "SAME", dimension_numbers=dn2)
         np.testing.assert_allclose(np.asarray(_s2d(y)), np.asarray(ys), atol=1e-5)
 
+    def test_out_s2d_head_and_mask_path_bit_identical(self, unet_params):
+        """The S2D-grid head output (out_s2d=True) must be an exact
+        permutation of the planar head, and the S2D mask path
+        (compute_masks_sparse_compact_s2d) must produce bit-identical
+        CompactMasks to the planar path fed the permuted tensor - this is
+        the production deep plate route (parallel/plate.py unet_mask)."""
+        from arcadia_microscopy_tools_tpu.models.flows import (
+            compute_masks_sparse_compact,
+            compute_masks_sparse_compact_s2d,
+        )
+        from arcadia_microscopy_tools_tpu.models.unet_s2d import (
+            _d2s,
+            apply_unet_s2d,
+            s2d_params,
+        )
+
+        sp = s2d_params(unet_params, gray_input=True)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((1, 128, 128, 1)).astype(np.float32))
+        out_s2d = apply_unet_s2d(sp, x, out_s2d=True)
+        assert out_s2d.shape == (1, 64, 64, 12)
+        planar = apply_unet_s2d(sp, x)
+        perm = _d2s(out_s2d, 3)
+        np.testing.assert_array_equal(np.asarray(perm), np.asarray(planar))
+
+        for kwargs in (
+            dict(flow_threshold=0.4, min_size=5),
+            dict(flow_threshold=0.0, min_size=5, clear_border_labels=True),
+        ):
+            ref = compute_masks_sparse_compact(
+                perm[0], 8192, niter=200, max_cells=256, **kwargs
+            )
+            got = compute_masks_sparse_compact_s2d(
+                out_s2d[0], 8192, niter=200, max_cells=256, **kwargs
+            )
+            for name in ("labels", "lab_c", "idx", "valid", "ok"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(ref, name)),
+                    np.asarray(getattr(got, name)),
+                    err_msg=name,
+                )
+
 
 class TestDiffusePallas:
     """models/flows_pallas: the temporally-blocked diffusion kernel must be

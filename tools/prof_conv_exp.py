@@ -35,11 +35,16 @@ C = int(os.environ.get("PROF_CH", "128"))
 REPS = int(os.environ.get("PROF_REPS", "5"))
 NCONV = 4
 
-rng = np.random.default_rng(0)
-x0 = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32)).astype(jnp.bfloat16)
+# activations generated ON-DEVICE: a (B, 1024, 1024, 128) f32 host array is
+# ~1 GB and the tunneled H2D link moves 3-40 MB/s - host-side generation
+# times the transfer, not the chain
+keys = jax.random.split(jax.random.PRNGKey(0), NCONV + 1)
+x0 = jax.jit(
+    lambda k: jax.random.normal(k, (B, H, W, C), jnp.bfloat16)
+)(keys[0])
 ws = [
-    jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.05).astype(jnp.bfloat16)
-    for _ in range(NCONV)
+    jax.jit(lambda k: jax.random.normal(k, (3, 3, C, C), jnp.bfloat16) * 0.05)(k)
+    for k in keys[1:]
 ]
 scale = jnp.ones((C,), jnp.float32)
 bias = jnp.zeros((C,), jnp.float32)
