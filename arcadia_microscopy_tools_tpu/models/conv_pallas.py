@@ -271,6 +271,12 @@ def _conv_call(
             pltpu.VMEM((th + 2, w_, c), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # the ~12 MB working set (slab + padded slab + f32 accumulator +
+        # out block) plus Mosaic's pipeline double-buffering exceeds the
+        # default scoped-VMEM limit at th=8; v5e has 128 MB VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )
 

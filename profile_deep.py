@@ -154,7 +154,13 @@ def stage_all(fn):
 
 
 net_in = timeit("normalize (histogram percentiles)", stage_all(normalize), seg_imgs)
-out = timeit("U-Net forward 2048^2 (s2d gray)", forward, net_in)
+# PROF_S2D_ONLY=1 measures just the production route (s2d-grid head ->
+# s2d advect -> s2d recon+QC -> tail); the planar comparison stages are
+# skipped to fit one run inside this environment's slow remote compiles
+S2D_ONLY = os.environ.get("PROF_S2D_ONLY", "") == "1"
+out = None
+if not S2D_ONLY:
+    out = timeit("U-Net forward 2048^2 (s2d gray)", forward, net_in)
 if os.environ.get("PROF_XLA_GN", "") == "1":
     timeit("U-Net forward 2048^2 (s2d gray, XLA GN)", forward_xla_gn, net_in)
 if os.environ.get("PROF_PLAIN_FWD", "") == "1":
@@ -163,22 +169,27 @@ out_s2d = timeit("U-Net forward 2048^2 (s2d-grid head)", forward_s2d_out, net_in
 adv2 = timeit(
     f"sparse advection s2d (niter={NITER}, cap={CAP})", stage_all(advect_s2d), out_s2d
 )
-timeit(
+rec2 = timeit(
     "recon+QC s2d (cluster+filter+flow-error)",
     stage_all(reconstruct_s2d), adv2[0], adv2[1], adv2[2], adv2[4],
 )
-adv = timeit(f"sparse advection (niter={NITER}, cap={CAP})", stage_all(advect), out)
-idx, valid, landing, ok = adv
-rec = timeit(
-    "mask reconstruction (cluster+filter)", stage_all(reconstruct), idx, valid, landing, out
-)
-labels = rec[0]
-timeit("QC flow_error (masks_to_flows+MSE)", stage_all(qc), labels, out)
-timeit("  of which masks_to_flows diffusion", stage_all(diffusion_only), labels)
-timeit(
-    "QC flow_error compact (production path)",
-    stage_all(qc_compact), idx, valid, rec[1], labels, out,
-)
+if S2D_ONLY:
+    idx, valid = adv2[0], adv2[1]
+    rec = rec2
+    labels = rec[0]
+else:
+    adv = timeit(f"sparse advection (niter={NITER}, cap={CAP})", stage_all(advect), out)
+    idx, valid, landing, ok = adv
+    rec = timeit(
+        "mask reconstruction (cluster+filter)", stage_all(reconstruct), idx, valid, landing, out
+    )
+    labels = rec[0]
+    timeit("QC flow_error (masks_to_flows+MSE)", stage_all(qc), labels, out)
+    timeit("  of which masks_to_flows diffusion", stage_all(diffusion_only), labels)
+    timeit(
+        "QC flow_error compact (production path)",
+        stage_all(qc_compact), idx, valid, rec[1], labels, out,
+    )
 
 # measurement tail
 from jax import lax

@@ -27,6 +27,8 @@ from arcadia_microscopy_tools_tpu.ops.labeling import label
 # the zstack's confluent epithelial cells are ~70 px across)
 FIXTURES = [
     ("example-multichannel.nd2", "BRIGHTFIELD", None),
+    ("example-pbmc.nd2", "BRIGHTFIELD", None),
+    ("example-cerevisiae.nd2", "DIC", None),
     ("example-timelapse.nd2", "FITC", None),
     ("example-zstack.nd2", "FITC", 70.0),
 ]
@@ -35,7 +37,7 @@ DATA = str(REPO / "tests" / "data")
 
 model = SegmentationModel(checkpoint_path=REPO / "checkpoints" / "unet")
 
-fig, axes = plt.subplots(3, 3, figsize=(13, 13))
+fig, axes = plt.subplots(len(FIXTURES), 3, figsize=(13, 4.3 * len(FIXTURES)))
 for row, (name, ch, diam) in enumerate(FIXTURES):
     img = MicroscopyImage.from_nd2_path(f"{DATA}/{name}")
     inten = img.get_channel_intensities(ch)
