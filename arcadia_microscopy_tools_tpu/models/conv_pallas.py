@@ -35,12 +35,13 @@ Like every Mosaic kernel in this package the call is gated OUTSIDE jit
 (backend == TPU, shapes tile; `conv_pallas_viable`) and carries a
 `sequential_vmap` rule so the plate runtime's well-vmap lowers (a Pallas
 grid is sequential on a TensorCore; batch-in-lax.map schedules identically
-to batch-in-grid). STAGED/EXPERIMENTAL: production forwards currently use
-the XLA conv path (models/unet.py / unet_s2d.py); this kernel is exercised
-by the parity tests and tools/prof_conv_exp.py and is a candidate
-replacement for the intra-image patch batching of the reference's Cellpose
-path (src/arcadia_microscopy_tools/model.py:43-45) once it beats the XLA
-conv on-chip end to end.
+to batch-in-grid). PRODUCTION since round 5: `apply_unet_s2d` routes every
+viable stride-1 3x3 conv through this kernel by default on TPU (fused-block
+variants in models/unet_s2d.py; composed forward 74.3 -> 60.8 ms/img at
+2048^2 on v5e, vs the reference's intra-image patch batching at
+src/arcadia_microscopy_tools/model.py:43-45). Opt out with
+AMT_PALLAS_CONV=0; spatially-sharded callers pass pallas_conv=False (a
+Mosaic call cannot be partitioned along a sharded image axis).
 """
 
 from __future__ import annotations
@@ -82,10 +83,19 @@ def conv_pallas_viable(shape: tuple[int, ...], co: int) -> bool:
     if len(shape) != 4:
         return False
     b, h, w, c = shape
-    if c % 64 or co % 128 or w % 128 or h < 8:
+    # c must be lane-aligned to 128: the kernel's manual row-slab DMA
+    # (x_ref.at[b, ds(...)]) slices an HBM memref whose minor dim must align
+    # to the (8, 128) tiling - Mosaic rejects c=64 at compile time ("Slice
+    # shape along dimension 3 must be aligned to tiling (128)"), measured
+    # on v5e round 5. Interpreter-mode tests still exercise c=64 math.
+    if c % 128 or co % 128 or w % 128 or h < 8:
         return False
     if _pick_th(h, w, c, co) == 0:
         return False
+    import os
+
+    if os.environ.get("AMT_PALLAS_CONV_INTERPRET", "0") == "1":
+        return True  # interpreter-mode CPU testing (see conv3x3_fused)
     return jax.devices()[0].platform not in ("cpu",)
 
 
@@ -280,9 +290,40 @@ def _conv_call(
         interpret=interpret,
     )
 
-    @jax.custom_batching.sequential_vmap
+    @jax.custom_batching.custom_vmap
     def run(*args):
         return tuple(call(*args))
+
+    @run.def_vmap
+    def _run_vmap(axis_size, in_batched, *args):
+        # vmap folds INTO the kernel's leading grid dimension: the grid is
+        # (b, h // th), so mapping V wells over a b-batch call is exactly one
+        # (V*b)-batch call - one Mosaic launch with grid parallelism instead
+        # of a lax.map of V launches (the sequential form tripped XLA's 16 MB
+        # scoped-vmem accounting inside the while body at 1024^2 x 128 and
+        # serialized the batch; measured round 5). Weights must be shared
+        # across the mapped axis - true for every production caller (the
+        # plate runner vmaps wells over one parameter tree).
+        x_b, w_b = in_batched[0], in_batched[1]
+        assert x_b and not w_b, (
+            "conv3x3_fused vmap expects the input batched and the kernel "
+            "weights shared across the mapped axis"
+        )
+
+        def merge(a, batched):
+            if not batched:
+                a = jnp.broadcast_to(a[None], (axis_size, *a.shape))
+            return a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
+
+        margs = [merge(a, bt) if i != 1 else a
+                 for i, (a, bt) in enumerate(zip(args, in_batched))]
+        inner = _conv_call(
+            axis_size * b, h, w_, c, co, th,
+            has_prologue, relu, has_accum, emit_moments, interpret,
+        )
+        outs = inner(*margs)
+        outs = tuple(o.reshape(axis_size, b, *o.shape[1:]) for o in outs)
+        return outs, tuple(True for _ in outs)
 
     return run
 
@@ -294,7 +335,7 @@ def conv3x3_fused(
     relu: bool = False,
     accum: jax.Array | None = None,  # (B, H, W, Co) bf16, added pre-cast
     emit_moments: bool = False,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """SAME 3x3 conv with fused affine prologue / accumulate / GN moments.
 
@@ -303,6 +344,12 @@ def conv3x3_fused(
     moment sums of the bf16 output when `emit_moments`. Caller must have
     checked `conv_pallas_viable(x.shape, co)`.
     """
+    if interpret is None:
+        # interpreter-mode escape hatch so the CPU test lane can exercise
+        # the fused forward end-to-end (tests/test_models.py)
+        import os
+
+        interpret = os.environ.get("AMT_PALLAS_CONV_INTERPRET", "0") == "1"
     b, h, w_, c = x.shape
     co = w.shape[-1]
     th = _pick_th(h, w_, c, co)

@@ -423,6 +423,147 @@ def _pool_s2d(x: jax.Array, c: int) -> jax.Array:
     return jnp.max(x.reshape(b, h, w, c, 4), axis=4)
 
 
+# ---------------------------------------------------------------------------
+# Fused-conv (Pallas) block variants.
+#
+# Round-5 xprof of the composed forward: the 3x3 convs themselves run near
+# bf16 peak, but XLA's conv partitioning materializes relayout copies +
+# halo pads around every conv <-> GroupNorm boundary - 36.4 ms/img of the
+# 76 ms forward at 2048^2 is `layout:copy`/`layout:pad`/reshape/
+# slice-bitcast data movement (tools/prof_xprof.py). The fused kernel
+# (models/conv_pallas.py) removes the boundary: each 3x3 conv call applies
+# the PREVIOUS GroupNorm as a per-(batch, channel) affine prologue,
+# accumulates the NEXT GroupNorm's moment sums, and optionally adds the
+# decoder's split-kernel partner conv - one HBM read + one write per conv.
+# Chain microbenchmark (tools/prof_conv_exp.py, v5e, 1024^2 x 128):
+# 7.86 -> 3.66 ms/img/conv. The blocks below reproduce the XLA blocks'
+# arithmetic with identical rounding points (conv accumulates f32, rounds
+# to bf16; GN statistics are f32 sums of the bf16 activation; the
+# normalize+affine is applied in f32 and rounded to bf16 before the
+# residual add) - differing only in f32 summation grouping, the same
+# tolerance class as the S2D rewrite itself.
+# ---------------------------------------------------------------------------
+
+
+def _gn_sums_xla(y: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(B, C) f32 channel sums / sums-of-squares of a bf16 activation -
+    the XLA-side moment computation for convs that stay on XLA (stems)."""
+    s1 = jnp.sum(y, axis=(1, 2), dtype=jnp.float32)
+    s2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=(1, 2))
+    return s1, s2
+
+
+def _gn_count(y: jax.Array, groups: int) -> int:
+    b, h, w, c = y.shape
+    return h * w * (c // min(groups, c))
+
+
+def _gn_affine(block: Params, which: str, moments, y, groups: int):
+    from .conv_pallas import gn_affine_params
+
+    s1, s2 = moments
+    return gn_affine_params(
+        s1, s2, block[f"{which}_scale"], block[f"{which}_bias"], groups,
+        _gn_count(y, groups),
+    )
+
+
+def _fused_tail(block: Params, y2, moments2, skip, groups: int):
+    """GN2 affine + residual + relu: one fused XLA elementwise pass over
+    the kernel's output (same rounding points as _group_norm + add)."""
+    sc2, bi2 = _gn_affine(block, "gn2", moments2, y2, groups)
+    h = (
+        y2.astype(jnp.float32) * sc2[:, None, None, :] + bi2[:, None, None, :]
+    ).astype(y2.dtype)
+    return jax.nn.relu(h + skip.astype(h.dtype))
+
+
+def _block_convs_viable(shapes_and_cos) -> bool:
+    from .conv_pallas import conv_pallas_viable
+
+    return all(conv_pallas_viable(s, co) for s, co in shapes_and_cos)
+
+
+def _conv_block_stem_fused(block: Params, x, groups, dtype, kernel: int = 4):
+    """Stem block (conv1 = XLA stride-2, conv2 = fused kernel): GN1 is never
+    materialized - its statistics reduce on XLA and ride conv2's prologue."""
+    from .conv_pallas import conv3x3_fused
+
+    y1 = _conv_stride2(x, block["conv1"], dtype, kernel=kernel)
+    sc1, bi1 = _gn_affine(block, "gn1", _gn_sums_xla(y1), y1, groups)
+    y2, m2 = conv3x3_fused(
+        y1, block["conv2"], prologue=(sc1, bi1), relu=True, emit_moments=True
+    )
+    skip = _conv_stride2(x, block["proj"], dtype, kernel=2)
+    return _fused_tail(block, y2, m2, skip, groups)
+
+
+def _conv_block_dense_fused(block: Params, x, groups, dtype):
+    """Dense residual block (deep levels) with the convs on the kernel.
+    conv1 falls back to XLA when its input channels are not lane-aligned
+    (down2's 64-channel input); its GN statistics then reduce on XLA and
+    still ride conv2's kernel prologue."""
+    from .conv_pallas import conv3x3_fused, conv_pallas_viable
+
+    if conv_pallas_viable(x.shape, block["conv1"].shape[-1]):
+        y1, m1 = conv3x3_fused(
+            x.astype(dtype), block["conv1"], emit_moments=True
+        )
+    else:
+        y1 = _conv2d(x, block["conv1"], dtype)
+        m1 = _gn_sums_xla(y1)
+    sc1, bi1 = _gn_affine(block, "gn1", m1, y1, groups)
+    y2, m2 = conv3x3_fused(
+        y1, block["conv2"], prologue=(sc1, bi1), relu=True, emit_moments=True
+    )
+    skip = _conv2d(x, block["proj"], dtype) if "proj" in block else x
+    return _fused_tail(block, y2, m2, skip, groups)
+
+
+def _conv_block_s2d_up_fused(block: Params, g, skip_t, groups, dtype):
+    """S2D decoder block: conv1's split kernels chain through the fused
+    kernel's `accum` input (no HBM round trip for the sum). The up-part
+    conv falls back to XLA when `g`'s channels are not lane-aligned
+    (up2's 64-channel planar input)."""
+    from .conv_pallas import conv3x3_fused, conv_pallas_viable
+
+    if conv_pallas_viable(g.shape, block["conv1_up"].shape[-1]):
+        a = conv3x3_fused(g.astype(dtype), block["conv1_up"])
+    else:
+        a = _conv2d(g, block["conv1_up"], dtype)
+    y1, m1 = conv3x3_fused(
+        skip_t.astype(dtype), block["conv1_skip"], accum=a, emit_moments=True
+    )
+    sc1, bi1 = _gn_affine(block, "gn1", m1, y1, groups)
+    y2, m2 = conv3x3_fused(
+        y1, block["conv2"], prologue=(sc1, bi1), relu=True, emit_moments=True
+    )
+    skip = _conv2d(g, block["proj_up"], dtype) + _conv2d(
+        skip_t, block["proj_skip"], dtype
+    )
+    return _fused_tail(block, y2, m2, skip, groups)
+
+
+def _conv_block_up0_fused(block: Params, g, skip_t, groups, dtype):
+    """up0: the fractionally-strided up-convs stay on XLA (4x4 dilated
+    kernels); the 3x3 skip conv and conv2 run fused, with the up-conv
+    accumulated in-kernel."""
+    from .conv_pallas import conv3x3_fused
+
+    a = _conv_up(g, block["conv1_up"], dtype)
+    y1, m1 = conv3x3_fused(
+        skip_t.astype(dtype), block["conv1_skip"], accum=a, emit_moments=True
+    )
+    sc1, bi1 = _gn_affine(block, "gn1", m1, y1, groups)
+    y2, m2 = conv3x3_fused(
+        y1, block["conv2"], prologue=(sc1, bi1), relu=True, emit_moments=True
+    )
+    skip = _conv_up(g, block["proj_up"], dtype) + _conv2d(
+        skip_t, block["proj_skip"], dtype
+    )
+    return _fused_tail(block, y2, m2, skip, groups)
+
+
 
 
 def apply_unet_s2d(
@@ -431,6 +572,7 @@ def apply_unet_s2d(
     config: UNetConfig | None = None,
     pallas_gn: bool | None = None,
     out_s2d: bool = False,
+    pallas_conv: bool | None = None,
 ) -> jax.Array:
     """`unet.apply_unet` on S2D-rewritten parameters; same (B, H, W, Cin) ->
     (B, H, W, 3) contract, H and W multiples of 8. Equal to the plain
@@ -472,21 +614,51 @@ def apply_unet_s2d(
             return group_norm_pallas(v, scale, bias, g)
         return _group_norm(v, scale, bias, g)
 
+    # Fused-conv route (models/conv_pallas.py): default ON for TPU backends
+    # where the block's conv shapes tile (conv_pallas_viable); forced off
+    # under spatial sharding by callers (a Mosaic call cannot be
+    # partitioned along a sharded image axis) and opt-out via
+    # AMT_PALLAS_CONV=0. See the fused-block section above for why.
+    use_pconv = (
+        pallas_conv
+        if pallas_conv is not None
+        else os.environ.get("AMT_PALLAS_CONV", "1") == "1"
+        and jax.devices()[0].platform not in ("cpu",)
+    )
+    from .conv_pallas import conv_pallas_viable
+
+    def pv(shape_hw, c, co):
+        b = x.shape[0]
+        return use_pconv and conv_pallas_viable((b, *shape_hw, c), co)
+
     # encoder levels 0/1: stem blocks read full-resolution planar input and
     # emit the (c, a)-order S2D grid directly (no transpose materialized)
-    h0 = _conv_block_s2d(
-        sparams["down0"], x.astype(dtype), groups, dtype, stem=True, gn=gn
-    )
+    b_, hh, ww = x.shape[0], x.shape[1] // 2, x.shape[2] // 2
+    if pv((hh, ww), 4 * nb[0], 4 * nb[0]):
+        h0 = _conv_block_stem_fused(sparams["down0"], x.astype(dtype), groups, dtype)
+    else:
+        h0 = _conv_block_s2d(
+            sparams["down0"], x.astype(dtype), groups, dtype, stem=True, gn=gn
+        )
     p0 = _pool_s2d(h0, nb[0])  # planar (B, H/2, W/2, nb0)
-    h1 = _conv_block_s2d(sparams["down1"], p0, groups, dtype, stem=True, gn=gn)
+    if pv((hh // 2, ww // 2), 4 * nb[1], 4 * nb[1]):
+        h1 = _conv_block_stem_fused(sparams["down1"], p0, groups, dtype)
+    else:
+        h1 = _conv_block_s2d(sparams["down1"], p0, groups, dtype, stem=True, gn=gn)
     p1 = _pool_s2d(h1, nb[1])  # planar (B, H/4, W/4, nb1)
 
     # deep levels densely (channels already MXU-wide)
     from .unet import _conv_block
 
-    h2 = _conv_block(sparams["down_rest"][0], p1, groups, dtype, gn=gn)
+    if pv((hh // 2, ww // 2), nb[2], nb[2]):  # conv2; conv1 falls back inside
+        h2 = _conv_block_dense_fused(sparams["down_rest"][0], p1, groups, dtype)
+    else:
+        h2 = _conv_block(sparams["down_rest"][0], p1, groups, dtype, gn=gn)
     p2 = _max_pool(h2)
-    deep = _conv_block(sparams["down_rest"][1], p2, groups, dtype, gn=gn)
+    if pv((hh // 4, ww // 4), nb[2], nb[3]) and pv((hh // 4, ww // 4), nb[3], nb[3]):
+        deep = _conv_block_dense_fused(sparams["down_rest"][1], p2, groups, dtype)
+    else:
+        deep = _conv_block(sparams["down_rest"][1], p2, groups, dtype, gn=gn)
 
     style = jnp.mean(deep.astype(jnp.float32), axis=(1, 2))
     style = style / (jnp.linalg.norm(style, axis=-1, keepdims=True) + 1e-6)
@@ -494,20 +666,31 @@ def apply_unet_s2d(
 
     # decoder: up0 dense at true H/4 (upsample+concat folded into the
     # kernels), up1/up2 in (c, a) S2D form
-    h = _conv_block_up0(sparams["up0"], deep, h2, groups, dtype, gn=gn)
+    if pv((hh // 2, ww // 2), nb[2], nb[2]):
+        h = _conv_block_up0_fused(sparams["up0"], deep, h2, groups, dtype)
+    else:
+        h = _conv_block_up0(sparams["up0"], deep, h2, groups, dtype, gn=gn)
     h = h + (style @ sparams["style_proj"][0]).astype(h.dtype)[:, None, None, :]
 
     # up1: true resolution H/2 -> S2D grid H/4; skip is h1 (already S2D).
     # Split kernels read the planar `h` and the skip directly - no tile4 /
     # concat tensor is ever built (see `_split_up_kernel`).
-    h = _conv_block_s2d_up(sparams["up1"], h, h1, groups, dtype, gn=gn)
+    if pv((hh // 2, ww // 2), nb[2], 4 * nb[1]) and pv(
+        (hh // 2, ww // 2), 4 * nb[1], 4 * nb[1]
+    ):
+        h = _conv_block_s2d_up_fused(sparams["up1"], h, h1, groups, dtype)
+    else:
+        h = _conv_block_s2d_up(sparams["up1"], h, h1, groups, dtype, gn=gn)
     sb1 = (style @ sparams["style_proj"][1]).astype(h.dtype)
     h = h + jnp.repeat(sb1, 4, axis=1)[:, None, None, :]
 
     # up2: true resolution H -> S2D grid H/2. Depth-to-space to the planar
     # H/2 grid rides the MXU as an identity fractionally-strided conv.
     h = _conv_d2s(h, sparams["d2s_up2"], dtype)  # (B, H/2, W/2, nb1)
-    h = _conv_block_s2d_up(sparams["up2"], h, h0, groups, dtype, gn=gn)
+    if pv((hh, ww), 4 * nb[0], 4 * nb[0]):  # skip/conv2; up falls back inside
+        h = _conv_block_s2d_up_fused(sparams["up2"], h, h0, groups, dtype)
+    else:
+        h = _conv_block_s2d_up(sparams["up2"], h, h0, groups, dtype, gn=gn)
     sb2 = (style @ sparams["style_proj"][2]).astype(h.dtype)
     h = h + jnp.repeat(sb2, 4, axis=1)[:, None, None, :]
 

@@ -290,6 +290,7 @@ def _build_well_program(
                     sp,
                     xn[None, ..., None],
                     pallas_gn=False if spatial else None,
+                    pallas_conv=False if spatial else None,
                     out_s2d=True,
                 )[0]
                 return compute_masks_sparse_compact_s2d(
@@ -299,6 +300,7 @@ def _build_well_program(
                 sp,
                 xn[None, ..., None],
                 pallas_gn=False if spatial else None,
+                pallas_conv=False if spatial else None,
             )[0]
         else:
             out = apply_unet(unet_params, jnp.stack([xn, xn, xn], axis=-1)[None])[0]

@@ -804,3 +804,188 @@ class TestGroupNormPallas:
         a = np.asarray(apply_unet(unet_params, x3, cfg))
         b = np.asarray(apply_unet_s2d(sp, x1, cfg))
         np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-4)
+
+
+class TestFusedConvForward:
+    """Round-5: the composed S2D forward with the fused Pallas conv route
+    (models/conv_pallas.py wired into apply_unet_s2d) must match the XLA
+    conv route within bf16-reassociation tolerance. Interpreter mode
+    exercises the exact kernel program on the CPU lane; the on-chip lane
+    (tests_tpu) compiles it through Mosaic."""
+
+    def test_fused_forward_matches_xla(self, unet_params, monkeypatch):
+        from arcadia_microscopy_tools_tpu.models.unet_s2d import (
+            apply_unet_s2d,
+            s2d_params,
+        )
+
+        monkeypatch.setenv("AMT_PALLAS_CONV_INTERPRET", "1")
+        sp = s2d_params(unet_params, gray_input=True)
+        rng = np.random.default_rng(3)
+        # W >= 256 so the 1024^2-class block shapes tile (w % 128) at the
+        # S2D level; deep levels fall back inside the fused blocks
+        x = jnp.asarray(rng.random((1, 256, 256, 1)).astype(np.float32))
+        ref = np.asarray(apply_unet_s2d(sp, x, pallas_conv=False, out_s2d=True))
+        got = np.asarray(apply_unet_s2d(sp, x, pallas_conv=True, out_s2d=True))
+        # bf16 noise amplified through 7 GroupNorm blocks; the head output
+        # spans roughly [-7, 7]
+        span = np.abs(ref).max()
+        assert np.abs(got - ref).max() < 0.05 * span
+        assert np.abs(got - ref).mean() < 0.005 * span
+
+    def test_fused_gate_off_on_cpu(self, unet_params):
+        """Without the interpret escape hatch the CPU backend must route
+        every block to XLA (conv_pallas_viable backend leg)."""
+        from arcadia_microscopy_tools_tpu.models.conv_pallas import (
+            conv_pallas_viable,
+        )
+
+        assert not conv_pallas_viable((1, 128, 128, 128), 128)
+        # c must be lane-aligned even in a TPU context: the manual DMA
+        # slices the channel dim (Mosaic alignment rule, round 5)
+        import os
+
+        os.environ["AMT_PALLAS_CONV_INTERPRET"] = "1"
+        try:
+            assert not conv_pallas_viable((1, 128, 128, 64), 128)
+            assert conv_pallas_viable((1, 128, 128, 128), 128)
+        finally:
+            del os.environ["AMT_PALLAS_CONV_INTERPRET"]
+
+
+class TestTwoStageCompaction:
+    """Round-5: the two-stage segment compaction (flows._compact_from_seg_bits)
+    must produce the full sort's `idx` bit-identically whenever every active
+    segment survives stage 1, and must flag seg-overflow otherwise."""
+
+    @staticmethod
+    def _full_sort_idx(act, cap):
+        from jax import lax
+
+        n = act.size
+        own = jnp.arange(n, dtype=jnp.int32)
+        sk = lax.sort(jnp.where(act.ravel(), own, n + own), is_stable=False)
+        head = sk[:cap]
+        return jnp.where(head < n, head, n)
+
+    def test_planar_blobs_bit_identical(self):
+        from arcadia_microscopy_tools_tpu.models import flows as F
+
+        rng = np.random.default_rng(0)
+        h = w = 1024  # >= 1<<20: the production gate routes two-stage
+        act = np.zeros((h, w), bool)
+        yy, xx = np.mgrid[0:32, 0:32]
+        disk = ((yy - 16) ** 2 + (xx - 16) ** 2) < 14**2
+        for _ in range(40):
+            cy, cx = rng.integers(16, h - 16), rng.integers(16, w - 16)
+            act[cy - 16 : cy + 16, cx - 16 : cx + 16] |= disk
+        cap = 65536
+        a = jnp.asarray(act)
+        want = self._full_sort_idx(a, cap)
+        got, ok = jax.jit(F._compact_two_stage_planar, static_argnums=1)(a, cap)
+        assert bool(ok)
+        assert bool(jnp.all(want == got))
+
+    def test_s2d_matches_planar(self):
+        from arcadia_microscopy_tools_tpu.models import flows as F
+
+        rng = np.random.default_rng(1)
+        h = w = 1024
+        act = rng.random((h, w)) < 0.01
+        # blobify so segments stay under cap_seg
+        act[: h // 2] = False
+        act[h // 2 : h // 2 + 64] = True
+        a3 = (
+            act.reshape(h // 2, 2, w // 2, 2)
+            .transpose(0, 2, 1, 3)
+            .reshape(h // 2, w // 2, 4)
+        )
+        cap = 131072
+        want = self._full_sort_idx(jnp.asarray(act), cap)
+        got, ok = jax.jit(
+            F._compact_two_stage_s2d, static_argnums=(1, 2, 3)
+        )(jnp.asarray(a3), h, w, cap)
+        assert bool(ok)
+        assert bool(jnp.all(want == got))
+
+    def test_seg_overflow_flags_not_ok(self):
+        from arcadia_microscopy_tools_tpu.models import flows as F
+
+        h = w = 1024
+        act = np.zeros((h, w), bool)
+        act[::2, ::8] = True  # 1 px per segment: actives <= cap, segments > cap//4
+        got, ok = jax.jit(F._compact_two_stage_planar, static_argnums=1)(
+            jnp.asarray(act), 131072
+        )
+        assert not bool(ok)
+
+    def test_sparse_core_s2d_routes_two_stage(self, unet_params):
+        """End-to-end: _follow_sparse_core_s2d at a >=1M-pixel image (the
+        production gate) equals the planar core fed the permuted tensor -
+        the equivalence that makes the two-stage rewrite invisible."""
+        from arcadia_microscopy_tools_tpu.models import flows as F
+
+        rng = np.random.default_rng(2)
+        h2 = w2 = 512  # full res 1024^2 -> gate ON
+        out_s2d = np.zeros((h2, w2, 12), np.float32)
+        out_s2d[..., 0:8] = rng.normal(0, 2, (h2, w2, 8))
+        act = np.zeros((h2, w2, 4), bool)
+        act[100:164, 100:164, :] = True  # one 128x128 full-res blob
+        out_s2d[..., 8:12] = np.where(act, 3.0, -3.0)
+        cap = 8192 * 8
+        idx, valid, landing, ok, pred = jax.jit(
+            F._follow_sparse_core_s2d, static_argnums=(1, 2, 3, 4)
+        )(jnp.asarray(out_s2d), 0.0, 200, cap, True)
+        assert bool(ok)
+        # planar reference: permute to (H, W, 3) and run the planar core
+        flows_pl = np.zeros((2 * h2, 2 * w2, 2), np.float32)
+        act_pl = np.zeros((2 * h2, 2 * w2), bool)
+        for a in range(4):
+            ay, ax = a >> 1, a & 1
+            flows_pl[ay::2, ax::2, 0] = out_s2d[..., 0 + a] / 5.0
+            flows_pl[ay::2, ax::2, 1] = out_s2d[..., 4 + a] / 5.0
+            act_pl[ay::2, ax::2] = out_s2d[..., 8 + a] > 0.0
+        idx2, valid2, landing2, ok2 = jax.jit(
+            F._follow_sparse_core, static_argnums=(2, 3)
+        )(jnp.asarray(flows_pl), jnp.asarray(act_pl), 200, cap)
+        assert bool(jnp.all(idx == idx2))
+        assert bool(jnp.all(landing == landing2))
+
+
+class TestFixtureMatchedSynthesis:
+    """Round-5: fixture-statistics-matched synthetic generation
+    (models/synthetic.synthesize_cells_like + fixture_stats.json)."""
+
+    def test_stats_loaded_for_all_five_fixtures(self):
+        from arcadia_microscopy_tools_tpu.models.synthetic import load_fixture_stats
+
+        stats = load_fixture_stats()
+        assert set(stats) == {
+            "example-multichannel", "example-timelapse", "example-zstack",
+            "example-pbmc", "example-cerevisiae",
+        }
+        for rec in stats.values():
+            assert 0 <= rec["background_level"] <= 1
+            assert rec["noise"] > 0
+            assert rec["cell_radius_mean"] > 0
+
+    def test_generated_images_match_harvested_regime(self):
+        """Generated samples must land near the harvested statistics: same
+        polarity, comparable background level and noise scale."""
+        from arcadia_microscopy_tools_tpu.models.synthetic import (
+            load_fixture_stats,
+            synthesize_cells_like,
+        )
+
+        stats = load_fixture_stats()
+        rng = np.random.default_rng(0)
+        for name in ("example-pbmc", "example-cerevisiae", "example-multichannel"):
+            rec = stats[name]
+            img, labels = synthesize_cells_like(rng, rec)
+            assert labels.max() >= 1
+            fg = labels > 0
+            bg_med = float(np.median(img[~fg]))
+            assert abs(bg_med - rec["background_level"]) < 0.25
+            contrast = float(np.median(img[fg])) - bg_med
+            assert (contrast < 0) == rec["inverted"]
+            assert abs(contrast) < 0.3  # the real low-contrast regime
