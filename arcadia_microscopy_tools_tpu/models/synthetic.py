@@ -11,7 +11,73 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["synthesize_cells"]
+__all__ = ["synthesize_cells", "synthesize_cells_like", "load_fixture_stats"]
+
+
+def load_fixture_stats() -> dict:
+    """Acquisition statistics harvested from the five real golden ND2
+    fixtures (tools/harvest_fixture_stats.py -> fixture_stats.json):
+    background level, robust noise sigma, illumination gradient amplitude,
+    signed cell contrast, radius distribution, and an autocorrelation-based
+    PSF proxy, each measured on the same normalized frame the segmentation
+    paths consume (foreground from the adjudicated U-Net golden masks)."""
+    import json
+    from pathlib import Path
+
+    return json.loads(
+        (Path(__file__).parent / "fixture_stats.json").read_text()
+    )
+
+
+def synthesize_cells_like(
+    rng: np.random.Generator,
+    stats: dict,
+    shape: tuple[int, int] = (256, 256),
+    jitter: float = 0.25,
+) -> tuple[np.ndarray, np.ndarray]:
+    """`synthesize_cells` with parameters matched to one harvested fixture
+    record (see `load_fixture_stats`), so training batches reproduce real
+    acquisition physics - the low-contrast brightfield/DIC regime
+    (|contrast| 0.03-0.06 of full scale on the real fixtures, vs 1.0 in the
+    default synthetic regime) is exactly where a synthetically-trained net
+    otherwise never sees a realistic sample. `jitter` scales multiplicative
+    spread applied to each harvested statistic so one fixture seeds a
+    distribution, not a point."""
+
+    def j(v, lo=None, hi=None):
+        out = float(v) * float(rng.uniform(1 - jitter, 1 + jitter))
+        if lo is not None:
+            out = max(lo, out)
+        if hi is not None:
+            out = min(hi, out)
+        return out
+
+    r_mean = max(3.0, float(stats["cell_radius_mean"]))
+    r_std = float(stats.get("cell_radius_std", 0.0))
+    r_lo = max(2.5, r_mean - max(r_std, 0.15 * r_mean))
+    r_hi = r_mean + max(r_std, 0.15 * r_mean)
+    area = shape[0] * shape[1]
+    n_cells = max(
+        1,
+        int(round(j(stats["fg_fraction"], 0.005, 0.5) * area / (np.pi * r_mean**2))),
+    )
+    # the PSF proxy bundles optics + cell softness; half of it as Gaussian
+    # sigma reproduces the measured autocorrelation lobe width closely
+    blur = max(0.0, j(stats["acorr_hwhm_px"]) * 0.5 - 0.5)
+    return synthesize_cells(
+        rng,
+        shape=shape,
+        n_cells=n_cells,
+        radius_range=(r_lo, r_hi),
+        noise=j(stats["noise"], 0.002, 0.2),
+        gradient=j(stats["gradient"], 0.0, 0.4),
+        cell_contrast=j(abs(stats["contrast"]), 0.015, 1.0),
+        background_level=j(stats["background_level"], 0.0, 0.85),
+        invert=bool(stats["inverted"]),
+        blur_sigma=blur,
+        shot_noise=0.02 if stats["background_level"] < 0.05 else 0.0,
+        edge_cells=True,
+    )
 
 
 def _gaussian_blur(image: np.ndarray, sigma: float) -> np.ndarray:
