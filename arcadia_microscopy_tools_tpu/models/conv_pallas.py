@@ -35,13 +35,18 @@ Like every Mosaic kernel in this package the call is gated OUTSIDE jit
 (backend == TPU, shapes tile; `conv_pallas_viable`) and carries a
 `sequential_vmap` rule so the plate runtime's well-vmap lowers (a Pallas
 grid is sequential on a TensorCore; batch-in-lax.map schedules identically
-to batch-in-grid). PRODUCTION since round 5: `apply_unet_s2d` routes every
-viable stride-1 3x3 conv through this kernel by default on TPU (fused-block
-variants in models/unet_s2d.py; composed forward 74.3 -> 60.8 ms/img at
-2048^2 on v5e, vs the reference's intra-image patch batching at
-src/arcadia_microscopy_tools/model.py:43-45). Opt out with
-AMT_PALLAS_CONV=0; spatially-sharded callers pass pallas_conv=False (a
-Mosaic call cannot be partitioned along a sharded image axis).
+to batch-in-grid). PRODUCTION for the standalone forward since round 5:
+`apply_unet_s2d` routes every viable stride-1 3x3 conv through this kernel
+by default on TPU (fused-block variants in models/unet_s2d.py; forward
+74.3 -> 61.3 ms/img at 2048^2 on v5e, vs the reference's intra-image patch
+batching at src/arcadia_microscopy_tools/model.py:43-45). The PLATE
+program opts OUT (parallel/plate._plate_pallas_conv): composed into the
+full well program the 12 Mosaic scheduling barriers cost more than the
+kernels save (6.31 -> 5.83 img/s/chip measured round 5) - the same
+composed-regression pattern as the GroupNorm kernel (round 4). Opt out
+everywhere with AMT_PALLAS_CONV=0; opt the plate back in with
+AMT_PALLAS_CONV_PLATE=1; spatially-sharded callers pass pallas_conv=False
+(a Mosaic call cannot be partitioned along a sharded image axis).
 """
 
 from __future__ import annotations

@@ -172,6 +172,38 @@ def _head_kernel(w: np.ndarray) -> np.ndarray:
     return out
 
 
+def _compose_d2s_conv3_kernel(w3: np.ndarray) -> np.ndarray:
+    """Fold depth-to-space INTO a following stride-1 3x3 SAME conv:
+
+        conv3x3(d2s(x), w3) == lhs_dilated conv4x4(x, K), padding (2, 2)
+
+    where x is (H, W, 4C) in (c, a) order and the output lives on the
+    (2H, 2W) grid. Derivation: output row p reads d2s rows p+u, u in
+    [-1, 1]; d2s row r is x row r>>1's sub-position block ry = r&1, and in
+    dilated coordinates x row i sits at 2i, so tap t = 2 + u - ((p+u)&1).
+    Per output parity two taps are active (the dilated zeros kill the
+    rest); taps t=1,2 each accumulate TWO (u, ry) pairs that share the
+    same source row but read different sub-position channel blocks:
+
+        t=0: (u=-1, ry=1)              t=1: (u=-1, ry=0), (u=0, ry=1)
+        t=2: (u=0,  ry=0), (u=1, ry=1) t=3: (u=1,  ry=0)
+
+    (same map per axis). Removes the explicit `_d2s_kernel` conv AND the
+    planar intermediate tensor - the round-5 xprof showed the 64-channel
+    intermediate's layout forcing ~4 ms/img of relayout copies at 2048^2.
+    Exactness is pinned by the S2D-vs-plain parity tests."""
+    _A = {0: [(-1, 1)], 1: [(-1, 0), (0, 1)], 2: [(0, 0), (1, 1)], 3: [(1, 0)]}
+    kh, kw, c, co = w3.shape
+    assert (kh, kw) == (3, 3)
+    out = np.zeros((4, 4, 4 * c, co), w3.dtype)
+    for t, vs in _A.items():
+        for s, hs in _A.items():
+            for u, ry in vs:
+                for v, rx in hs:
+                    out[t, s, (ry * 2 + rx) :: 4, :] += w3[u + 1, v + 1]
+    return out
+
+
 def _d2s_kernel(c: int, dtype) -> np.ndarray:
     """(2, 2, 4*c, c) identity kernel: depth-to-space as a fractionally-
     strided conv (same tap/sub-position relation as `_head_kernel`)."""
@@ -294,13 +326,24 @@ def s2d_params(params: Params, gray_input: bool = False) -> Params:
     if gray_input:
         down0["conv1"] = jnp.sum(down0["conv1"], axis=2, keepdims=True)
         down0["proj"] = jnp.sum(down0["proj"], axis=2, keepdims=True)
+    # up2 with the depth-to-space FOLDED INTO its up-part kernels
+    # (_compose_d2s_conv3_kernel): the block takes up0-form fractionally-
+    # strided kernels reading up1's S2D output directly - the planar
+    # (2H2, 2W2, nb1) intermediate never exists. Composition happens on
+    # the host-side numpy kernels BEFORE any jnp conversion: under a jit
+    # trace jnp constants are tracers and cannot round-trip through numpy.
+    up2 = _s2d_up_block(params["up"][2], c_up=nb1)
+    up1_np, _ = _split_up_kernel(np.asarray(params["up"][2]["conv1"]), nb1)
+    up2["conv1_up"] = jnp.asarray(_compose_d2s_conv3_kernel(up1_np))
+    upp_np, _ = _split_up_kernel(np.asarray(params["up"][2]["proj"]), nb1)
+    up2["proj_up"] = jnp.asarray(_head_kernel(upp_np))
     out: Params = {
         "down0": down0,
         "down1": _s2d_block(params["down"][1], stem=True),
         "down_rest": [params["down"][i] for i in range(2, len(params["down"]))],
         "up0": _up0_block(params["up"][0], c_up=nb3),
         "up1": _s2d_up_block(params["up"][1], c_up=nb2),
-        "up2": _s2d_up_block(params["up"][2], c_up=nb1),
+        "up2": up2,
         "style_dense": params["style_dense"],
         "style_proj": params["style_proj"],
         "head": jnp.asarray(_head_kernel(head)),
@@ -310,7 +353,6 @@ def s2d_params(params: Params, gray_input: bool = False) -> Params:
         # consumers that read the output elementwise (out_s2d=True)
         "head_s2d": jnp.asarray(_s2d_conv_kernel(head)),
         "head_bias_s2d": jnp.repeat(jnp.asarray(params["head_bias"]), 4),
-        "d2s_up2": jnp.asarray(_d2s_kernel(nb1, head.dtype)),
     }
     return out
 
@@ -684,13 +726,14 @@ def apply_unet_s2d(
     sb1 = (style @ sparams["style_proj"][1]).astype(h.dtype)
     h = h + jnp.repeat(sb1, 4, axis=1)[:, None, None, :]
 
-    # up2: true resolution H -> S2D grid H/2. Depth-to-space to the planar
-    # H/2 grid rides the MXU as an identity fractionally-strided conv.
-    h = _conv_d2s(h, sparams["d2s_up2"], dtype)  # (B, H/2, W/2, nb1)
-    if pv((hh, ww), 4 * nb[0], 4 * nb[0]):  # skip/conv2; up falls back inside
-        h = _conv_block_s2d_up_fused(sparams["up2"], h, h0, groups, dtype)
+    # up2: true resolution H -> S2D grid H/2. The depth-to-space is folded
+    # into the up-part kernels (see _compose_d2s_conv3_kernel), so the
+    # block is up0-form: fractionally-strided up convs read up1's S2D
+    # output directly.
+    if pv((hh, ww), 4 * nb[0], 4 * nb[0]):  # skip/conv2; up stays on XLA
+        h = _conv_block_up0_fused(sparams["up2"], h, h0, groups, dtype)
     else:
-        h = _conv_block_s2d_up(sparams["up2"], h, h0, groups, dtype, gn=gn)
+        h = _conv_block_up0(sparams["up2"], h, h0, groups, dtype, gn=gn)
     sb2 = (style @ sparams["style_proj"][2]).astype(h.dtype)
     h = h + jnp.repeat(sb2, 4, axis=1)[:, None, None, :]
 

@@ -161,6 +161,15 @@ class PlateResults:
         return pd.DataFrame(rows)
 
 
+def _plate_pallas_conv(spatial: bool) -> bool:
+    """Fused-conv choice for the plate program: OFF by default (measured
+    composed regression, see the call-site note), never on when spatially
+    sharded (Mosaic calls cannot be partitioned along a sharded axis)."""
+    import os
+
+    return (not spatial) and os.environ.get("AMT_PALLAS_CONV_PLATE", "0") == "1"
+
+
 def _build_well_program(
     config: PlateRunConfig, n_channels: int, unet_params=None, spatial: bool = False,
     debug_labels: bool = False,
@@ -290,7 +299,17 @@ def _build_well_program(
                     sp,
                     xn[None, ..., None],
                     pallas_gn=False if spatial else None,
-                    pallas_conv=False if spatial else None,
+                    # fused Pallas convs are a measured WIN for the
+                    # standalone forward (74.3 -> 61.3 ms/img at 2048^2)
+                    # but a measured LOSS composed into this full plate
+                    # program (6.31 -> 5.83 img/s/chip, round-5 A/B on
+                    # v5e): the 12 Mosaic calls are scheduling barriers
+                    # XLA cannot fuse across, and the composed program
+                    # loses more around them than the kernels save.
+                    # Same story as pallas_gn (round 4). Opt back in with
+                    # AMT_PALLAS_CONV_PLATE=1 for hardware where the
+                    # tradeoff flips.
+                    pallas_conv=_plate_pallas_conv(spatial),
                     out_s2d=True,
                 )[0]
                 return compute_masks_sparse_compact_s2d(
@@ -300,7 +319,7 @@ def _build_well_program(
                 sp,
                 xn[None, ..., None],
                 pallas_gn=False if spatial else None,
-                pallas_conv=False if spatial else None,
+                pallas_conv=_plate_pallas_conv(spatial),
             )[0]
         else:
             out = apply_unet(unet_params, jnp.stack([xn, xn, xn], axis=-1)[None])[0]

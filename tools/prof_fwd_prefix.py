@@ -90,10 +90,9 @@ def forward_prefix(sp, x, n):
     h = h + jnp.repeat(sb1, 4, axis=1)[:, None, None, :]
     if n == 9:
         return h
-    h = _conv_d2s(h, sp["d2s_up2"], dtype)
     if n == 10:
-        return h
-    h = _conv_block_s2d_up(sp["up2"], h, h0, groups, dtype)
+        return h  # d2s folded into up2's up kernels since round 5
+    h = _conv_block_up0(sp["up2"], h, h0, groups, dtype)
     sb2 = (style @ sp["style_proj"][2]).astype(h.dtype)
     h = h + jnp.repeat(sb2, 4, axis=1)[:, None, None, :]
     if n == 11:
